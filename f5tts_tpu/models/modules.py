@@ -1,0 +1,382 @@
+"""NN building blocks as pure init/apply functions over parameter pytrees.
+
+Functional equivalents of reference torch modules (src/f5_tts/model/modules.py):
+SinusPositionEmbedding (:157-169), TimestepEmbedding (:852-862),
+ConvPositionEmbedding (:175-201), GRN (:236-245), ConvNeXtV2Block (:252-280),
+RMSNorm (:286-305), AdaLayerNorm (:312-326), AdaLayerNorm_Final (:333-347),
+FeedForward (:353-364), Attention + AttnProcessor (:371-556),
+DiTBlock (:711-757), MMDiTBlock (:763-846).
+
+Conventions:
+- Linear kernels are stored (in, out); apply is `x @ w + b` (MXU layout).
+- Params live in float32; compute casts to the caller's dtype, with layernorm,
+  softmax, and GRN statistics always in float32.
+- Initialization mirrors torch defaults (kaiming-uniform fan-in bounds for
+  Linear/Conv1d, N(0,1) for Embedding) so training dynamics are comparable.
+- Masks are passed as `lengths: [b] int32` (+ static max length) — jit-safe.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from f5tts_tpu.ops.attention import attention as attention_op
+from f5tts_tpu.ops.rope import apply_rotary_partial_heads
+
+Params = dict  # nested dict pytree of jnp arrays
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound, dtype=jnp.float32)
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool = True, zero: bool = False) -> Params:
+    kw, kb = jax.random.split(key)
+    if zero:
+        w = jnp.zeros((d_in, d_out), dtype=jnp.float32)
+    else:
+        w = _uniform(kw, (d_in, d_out), 1.0 / math.sqrt(d_in))
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32) if zero else _uniform(kb, (d_out,), 1.0 / math.sqrt(d_in))
+    return p
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def init_embedding(key, num: int, dim: int) -> Params:
+    return {"w": jax.random.normal(key, (num, dim), dtype=jnp.float32)}
+
+
+def embedding(p: Params, ids: jax.Array) -> jax.Array:
+    return p["w"][ids]
+
+
+def layer_norm(x: jax.Array, weight=None, bias=None, eps: float = 1e-6) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def init_rms_norm(dim: int) -> Params:
+    return {"w": jnp.ones((dim,), jnp.float32)}
+
+
+def rms_norm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = (xf * xf).mean(axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * p["w"].astype(jnp.float32)).astype(x.dtype)
+
+
+def init_conv1d(key, c_in: int, c_out: int, kernel: int, groups: int = 1) -> Params:
+    """Kernel stored [kernel, c_in//groups, c_out] (WIO for NWC conv)."""
+    kw, kb = jax.random.split(key)
+    fan_in = (c_in // groups) * kernel
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "w": _uniform(kw, (kernel, c_in // groups, c_out), bound),
+        "b": _uniform(kb, (c_out,), bound),
+    }
+
+
+def conv1d(p: Params, x: jax.Array, groups: int = 1, dilation: int = 1,
+           padding: str | int = "same") -> jax.Array:
+    """x: [b, n, c] (NWC)."""
+    if isinstance(padding, int):
+        pad = [(padding, padding)]
+    elif padding == "same":
+        k = p["w"].shape[0]
+        total = dilation * (k - 1)
+        pad = [(total // 2, total - total // 2)]
+    else:
+        pad = padding
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(1,), padding=pad, rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + p["b"].astype(y.dtype)
+
+
+def mish(x: jax.Array) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    return (xf * jnp.tanh(jax.nn.softplus(xf))).astype(x.dtype)
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=True)
+
+
+# ---------------------------------------------------------------------------
+# Position / timestep embeddings
+# ---------------------------------------------------------------------------
+
+def sinus_pos_embedding(x: jax.Array, dim: int, scale: float = 1000.0) -> jax.Array:
+    """[b] -> [b, dim]; note the (half_dim - 1) denominator (reference :157-169)."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1)))
+    ang = scale * x.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def init_timestep_embedding(key, dim: int, freq_embed_dim: int = 256) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "mlp1": init_linear(k1, freq_embed_dim, dim),
+        "mlp2": init_linear(k2, dim, dim),
+    }
+
+
+def timestep_embedding(p: Params, t: jax.Array, dtype=jnp.float32, freq_embed_dim: int = 256) -> jax.Array:
+    h = sinus_pos_embedding(t, freq_embed_dim).astype(dtype)
+    h = linear(p["mlp1"], h)
+    h = jax.nn.silu(h)
+    return linear(p["mlp2"], h)
+
+
+# ---------------------------------------------------------------------------
+# Conv position embedding (reference :175-201)
+# ---------------------------------------------------------------------------
+
+def init_conv_pos_embedding(key, dim: int, kernel: int = 31, groups: int = 16) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": init_conv1d(k1, dim, dim, kernel, groups),
+        "conv2": init_conv1d(k2, dim, dim, kernel, groups),
+    }
+
+
+def conv_pos_embedding(p: Params, x: jax.Array, mask: Optional[jax.Array] = None,
+                       groups: int = 16) -> jax.Array:
+    """x: [b, n, d]; mask: [b, n] bool. Re-zeroes padding after each conv."""
+    g = groups
+    if mask is not None:
+        m = mask[:, :, None]
+        x = jnp.where(m, x, 0.0)
+    x = conv1d(p["conv1"], x, groups=g)
+    if mask is not None:
+        x = jnp.where(m, x, 0.0)
+    x = mish(x)
+    x = conv1d(p["conv2"], x, groups=g)
+    if mask is not None:
+        x = jnp.where(m, x, 0.0)
+    x = mish(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# GRN + ConvNeXt V2 (reference :236-280)
+# ---------------------------------------------------------------------------
+
+def init_grn(dim: int) -> Params:
+    return {"gamma": jnp.zeros((dim,), jnp.float32), "beta": jnp.zeros((dim,), jnp.float32)}
+
+
+def grn(p: Params, x: jax.Array) -> jax.Array:
+    """Global response norm over the sequence axis (dim=1 of [b, n, d])."""
+    xf = x.astype(jnp.float32)
+    gx = jnp.sqrt(jnp.sum(xf * xf, axis=1, keepdims=True))  # [b, 1, d]
+    nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
+    y = p["gamma"] * (xf * nx) + p["beta"] + xf
+    return y.astype(x.dtype)
+
+
+def init_convnext_v2_block(key, dim: int, intermediate_dim: int, dilation: int = 1) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "dwconv": init_conv1d(k1, dim, dim, 7, groups=dim),
+        "norm_w": jnp.ones((dim,), jnp.float32),
+        "norm_b": jnp.zeros((dim,), jnp.float32),
+        "pw1": init_linear(k2, dim, intermediate_dim),
+        "grn": init_grn(intermediate_dim),
+        "pw2": init_linear(k3, intermediate_dim, dim),
+    }
+
+
+def convnext_v2_block(p: Params, x: jax.Array, dilation: int = 1) -> jax.Array:
+    residual = x
+    dim = x.shape[-1]
+    h = conv1d(p["dwconv"], x, groups=dim, dilation=dilation,
+               padding=(dilation * 6) // 2)
+    h = layer_norm(h, p["norm_w"], p["norm_b"], eps=1e-6)
+    h = linear(p["pw1"], h)
+    h = gelu_exact(h)
+    h = grn(p["grn"], h)
+    h = linear(p["pw2"], h)
+    return residual + h
+
+
+# ---------------------------------------------------------------------------
+# AdaLN (reference :312-347)
+# ---------------------------------------------------------------------------
+
+def init_adaln(key, dim: int, zero: bool = True) -> Params:
+    return {"linear": init_linear(key, dim, 6 * dim, zero=zero)}
+
+
+def adaln_modulation(p: Params, emb: jax.Array):
+    """emb [b, d] -> 6 chunks: shift_msa, scale_msa, gate_msa, shift/scale/gate_mlp."""
+    h = linear(p["linear"], jax.nn.silu(emb))
+    return jnp.split(h, 6, axis=-1)
+
+
+def adaln_pre(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    """LayerNorm(no affine) * (1 + scale) + shift (broadcast over seq)."""
+    return layer_norm(x) * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+def init_adaln_final(key, dim: int, zero: bool = True) -> Params:
+    return {"linear": init_linear(key, dim, 2 * dim, zero=zero)}
+
+
+def adaln_final(p: Params, x: jax.Array, emb: jax.Array) -> jax.Array:
+    h = linear(p["linear"], jax.nn.silu(emb))
+    scale, shift = jnp.split(h, 2, axis=-1)  # NOTE: (scale, shift) order (:344)
+    return layer_norm(x) * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# FeedForward (reference :353-364)
+# ---------------------------------------------------------------------------
+
+def init_feed_forward(key, dim: int, mult: int = 4, dim_out: Optional[int] = None) -> Params:
+    k1, k2 = jax.random.split(key)
+    inner = int(dim * mult)
+    return {
+        "in": init_linear(k1, dim, inner),
+        "out": init_linear(k2, inner, dim_out or dim),
+    }
+
+
+def feed_forward(p: Params, x: jax.Array) -> jax.Array:
+    return linear(p["out"], gelu_tanh(linear(p["in"], x)))
+
+
+# ---------------------------------------------------------------------------
+# Self-attention (reference :371-556)
+# ---------------------------------------------------------------------------
+
+def init_attention(key, dim: int, heads: int, dim_head: int,
+                   qk_norm: Optional[str] = None) -> Params:
+    ks = jax.random.split(key, 4)
+    inner = heads * dim_head
+    p = {
+        "to_q": init_linear(ks[0], dim, inner),
+        "to_k": init_linear(ks[1], dim, inner),
+        "to_v": init_linear(ks[2], dim, inner),
+        "to_out": init_linear(ks[3], inner, dim),
+    }
+    if qk_norm == "rms_norm":
+        p["q_norm"] = init_rms_norm(dim_head)
+        p["k_norm"] = init_rms_norm(dim_head)
+    return p
+
+
+def self_attention(
+    p: Params,
+    x: jax.Array,                      # [b, n, dim]
+    heads: int,
+    rope_angles: Optional[jax.Array],  # [>=n, dim_head]
+    lengths: Optional[jax.Array] = None,  # [b] valid length; None = dense
+    pe_attn_head: Optional[int] = None,
+    backend: str = "pallas",
+) -> jax.Array:
+    b, n, _ = x.shape
+    q = linear(p["to_q"], x)
+    k = linear(p["to_k"], x)
+    v = linear(p["to_v"], x)
+    dh = q.shape[-1] // heads
+
+    def split_heads(t):
+        return t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+    if "q_norm" in p:
+        q = rms_norm(p["q_norm"], q)
+        k = rms_norm(p["k_norm"], k)
+
+    if rope_angles is not None:
+        q = apply_rotary_partial_heads(q, rope_angles, pe_attn_head)
+        k = apply_rotary_partial_heads(k, rope_angles, pe_attn_head)
+
+    o = attention_op(q, k, v, lengths=lengths, backend=backend)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, heads * dh)
+    o = linear(p["to_out"], o)
+
+    if lengths is not None:
+        mask = jnp.arange(n)[None, :] < lengths[:, None]
+        o = jnp.where(mask[:, :, None], o, 0.0)
+    return o
+
+
+# ---------------------------------------------------------------------------
+# DiT block (reference :711-757)
+# ---------------------------------------------------------------------------
+
+def init_dit_block(key, dim: int, heads: int, dim_head: int, ff_mult: int,
+                   qk_norm: Optional[str] = None) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "attn_norm": init_adaln(k1, dim, zero=True),  # AdaLN-zero init (dit.py:264-274)
+        "attn": init_attention(k2, dim, heads, dim_head, qk_norm),
+        "ff": init_feed_forward(k3, dim, ff_mult),
+    }
+
+
+def dit_block(
+    p: Params,
+    x: jax.Array,
+    t_emb: jax.Array,
+    heads: int,
+    rope_angles: Optional[jax.Array],
+    lengths: Optional[jax.Array] = None,
+    pe_attn_head: Optional[int] = None,
+    backend: str = "pallas",
+) -> jax.Array:
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = adaln_modulation(
+        p["attn_norm"], t_emb
+    )
+    norm = adaln_pre(x, shift_msa, scale_msa)
+    attn_out = self_attention(
+        p["attn"], norm, heads, rope_angles, lengths, pe_attn_head, backend
+    )
+    x = x + gate_msa[:, None, :] * attn_out
+
+    norm = layer_norm(x) * (1.0 + scale_mlp[:, None, :]) + shift_mlp[:, None, :]
+    x = x + gate_mlp[:, None, :] * feed_forward(p["ff"], norm)
+    return x
+
+
+def tree_cast(params: Any, dtype) -> Any:
+    return jax.tree.map(lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+
+def count_params(params: Any) -> int:
+    return sum(int(a.size) for a in jax.tree.leaves(params) if hasattr(a, "size"))

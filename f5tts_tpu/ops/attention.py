@@ -1,0 +1,168 @@
+"""Attention ops: XLA reference + Pallas TPU flash-attention.
+
+This is the DiT hot kernel. The reference uses torch SDPA or the flash-attn
+CUDA extension with varlen unpadding (reference: src/f5_tts/model/modules.py:
+446-448, 511-543). TPU-native replacement:
+
+- `mha_reference`: plain jnp attention with f32 softmax — used for tests,
+  for the backward pass, and as the fallback backend.
+- `flash_attention`: Pallas kernel, non-causal, online-softmax tiling with
+  per-sequence valid-length masking (replaces flash_attn_varlen unpad/pad
+  round-trip — padded positions are masked in-kernel instead).
+
+Layout: q/k/v are [b, h, n, d]; `lengths` is [b] (valid key/query count).
+Softmax scale 1/sqrt(d) matches torch SDPA's default.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def mha_reference(
+    q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array | None = None
+) -> jax.Array:
+    """[b,h,n,d] x3 -> [b,h,n,d]; f32 softmax; key positions >= lengths masked."""
+    b, h, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if lengths is not None:
+        kmask = jnp.arange(n)[None, :] < lengths[:, None]  # [b, n]
+        scores = jnp.where(kmask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (non-causal, varlen via in-kernel length masking)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float):
+    """One (batch, head, q-block) program: online softmax over k blocks.
+
+    Refs: len_ref SMEM [b] (scalar-prefetch); q_ref [1,1,bq,d];
+    k_ref/v_ref [1,1,n,d]; o_ref [1,1,bq,d].
+    """
+    bi = pl.program_id(0)
+    valid_len = len_ref[bi]
+
+    n, d = k_ref.shape[2], k_ref.shape[3]
+    bq = q_ref.shape[2]
+
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * sm_scale
+
+    m0 = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
+
+    num_kb = n // block_k
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, block_k]
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        s = jnp.where(col < valid_len, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows (padded queries) -> 0 output
+    o_ref[0, 0, :, :] = (acc / l).astype(o_ref.dtype)
+
+
+def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return n
+
+
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array) -> jax.Array:
+    b, h, n, d = q.shape
+    block_q = _pick_block(n, (256, 128))
+    block_k = _pick_block(n, (512, 256, 128))
+    sm_scale = 1.0 / math.sqrt(d)
+
+    grid = (b, h, n // block_q)
+    kernel = functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # lengths, indexed per-batch inside the kernel
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda lens, bi, hi, qi: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, n, d), lambda lens, bi, hi, qi: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, n, d), lambda lens, bi, hi, qi: (bi, hi, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda lens, bi, hi, qi: (bi, hi, qi, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * d,
+            bytes_accessed=4 * b * h * n * d * q.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+    )(lengths.astype(jnp.int32), q, k, v)
+
+
+@jax.custom_vjp
+def flash_attention(q, k, v, lengths):
+    return _flash_forward(q, k, v, lengths)
+
+
+def _flash_fwd(q, k, v, lengths):
+    return _flash_forward(q, k, v, lengths), (q, k, v, lengths)
+
+
+def _flash_bwd(res, g):
+    # Backward recomputes attention via the XLA reference path. O(n^2) memory
+    # for the score matrix, but gradients only flow at training time where the
+    # frame budget already bounds n; a fused Pallas backward is a later
+    # optimization.
+    q, k, v, lengths = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_, lengths), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    lengths: jax.Array | None = None,
+    backend: str = "pallas",
+) -> jax.Array:
+    """Dispatch on backend. Pallas path needs 128-aligned n (pad upstream)."""
+    b, h, n, d = q.shape
+    if backend == "pallas" and jax.default_backend() == "tpu" and n % 128 == 0:
+        if lengths is None:
+            lengths = jnp.full((b,), n, dtype=jnp.int32)
+        return flash_attention(q, k, v, lengths)
+    return mha_reference(q, k, v, lengths)
