@@ -1,0 +1,6 @@
+from f5tts_tpu.compat.torch_import import (  # noqa: F401
+    convert_f5tts_state_dict,
+    convert_vocos_state_dict,
+    extract_ema_state_dict,
+    load_torch_checkpoint,
+)

@@ -1,0 +1,181 @@
+"""Import reference PyTorch checkpoints into f5tts_tpu parameter pytrees.
+
+Covers the reference checkpoint formats (src/f5_tts/infer/utils_infer.py:190-232):
+- `.pt` dicts with `ema_model_state_dict` (keys prefixed "ema_model.") or
+  `model_state_dict`
+- `.safetensors` EMA-only exports
+- legacy key variants handled by the reference's back-compat patches
+
+and the public charactr/vocos-mel-24khz `pytorch_model.bin` layout.
+
+Conventions converted:
+- torch Linear weight (out, in) -> ours (in, out)
+- torch Conv1d weight (out, in/groups, k) -> ours (k, in/groups, out)
+- GRN gamma/beta (1, 1, d) -> (d,)
+
+All inputs are dicts of numpy arrays (or anything np.asarray accepts);
+torch is only needed if you load the file with `load_torch_checkpoint`.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+from f5tts_tpu.config import ModelArch
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _lin(sd: Mapping, name: str, bias: bool = True) -> dict:
+    p = {"w": jnp.asarray(_np(sd[f"{name}.weight"]).T)}
+    if bias and f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[f"{name}.bias"]))
+    return p
+
+
+def _conv(sd: Mapping, name: str) -> dict:
+    return {
+        "w": jnp.asarray(np.transpose(_np(sd[f"{name}.weight"]), (2, 1, 0))),
+        "b": jnp.asarray(_np(sd[f"{name}.bias"])),
+    }
+
+
+def _convnext_v2(sd: Mapping, prefix: str) -> dict:
+    return {
+        "dwconv": _conv(sd, f"{prefix}.dwconv"),
+        "norm_w": jnp.asarray(_np(sd[f"{prefix}.norm.weight"])),
+        "norm_b": jnp.asarray(_np(sd[f"{prefix}.norm.bias"])),
+        "pw1": _lin(sd, f"{prefix}.pwconv1"),
+        "grn": {
+            "gamma": jnp.asarray(_np(sd[f"{prefix}.grn.gamma"]).reshape(-1)),
+            "beta": jnp.asarray(_np(sd[f"{prefix}.grn.beta"]).reshape(-1)),
+        },
+        "pw2": _lin(sd, f"{prefix}.pwconv2"),
+    }
+
+
+def extract_ema_state_dict(checkpoint: Mapping) -> dict:
+    """Reference utils_infer.py:209-227: EMA checkpoints store keys as
+    "ema_model.<name>" plus bookkeeping ("initted", "step")."""
+    if "ema_model_state_dict" in checkpoint:
+        sd = checkpoint["ema_model_state_dict"]
+        return {
+            k.removeprefix("ema_model."): v
+            for k, v in sd.items()
+            if k not in ("initted", "step", "ema_model.initted", "ema_model.step")
+        }
+    if "model_state_dict" in checkpoint:
+        return dict(checkpoint["model_state_dict"])
+    # raw state dict (e.g. safetensors EMA export)
+    return {
+        k.removeprefix("ema_model."): v
+        for k, v in checkpoint.items()
+        if k not in ("initted", "step")
+    }
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load .pt / .safetensors into a flat numpy state dict."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    return extract_ema_state_dict(ckpt)
+
+
+def convert_f5tts_state_dict(sd: Mapping, arch: ModelArch) -> dict:
+    """Reference CFM/DiT state dict -> f5tts_tpu DiT param pytree.
+
+    Expects keys "transformer.<...>" (the CFM wrapper's transformer submodule;
+    mel_spec buffers are ignored).
+    """
+    t = "transformer"
+    params: dict = {
+        "time_embed": {
+            "mlp1": _lin(sd, f"{t}.time_embed.time_mlp.0"),
+            "mlp2": _lin(sd, f"{t}.time_embed.time_mlp.2"),
+        },
+        "text_embed": {
+            "embed": {"w": jnp.asarray(_np(sd[f"{t}.text_embed.text_embed.weight"]))},
+        },
+        "input_embed": {
+            "proj": _lin(sd, f"{t}.input_embed.proj"),
+            "conv_pos": {
+                "conv1": _conv(sd, f"{t}.input_embed.conv_pos_embed.conv1d.0"),
+                "conv2": _conv(sd, f"{t}.input_embed.conv_pos_embed.conv1d.2"),
+            },
+        },
+        "norm_out": {"linear": _lin(sd, f"{t}.norm_out.linear")},
+        "proj_out": _lin(sd, f"{t}.proj_out"),
+    }
+
+    if arch.conv_layers > 0:
+        params["text_embed"]["blocks"] = [
+            _convnext_v2(sd, f"{t}.text_embed.text_blocks.{i}")
+            for i in range(arch.conv_layers)
+        ]
+
+    blocks = []
+    for i in range(arch.depth):
+        b = f"{t}.transformer_blocks.{i}"
+        blk = {
+            "attn_norm": {"linear": _lin(sd, f"{b}.attn_norm.linear")},
+            "attn": {
+                "to_q": _lin(sd, f"{b}.attn.to_q"),
+                "to_k": _lin(sd, f"{b}.attn.to_k"),
+                "to_v": _lin(sd, f"{b}.attn.to_v"),
+                "to_out": _lin(sd, f"{b}.attn.to_out.0"),
+            },
+            "ff": {
+                "in": _lin(sd, f"{b}.ff.ff.0.0"),
+                "out": _lin(sd, f"{b}.ff.ff.2"),
+            },
+        }
+        if f"{b}.attn.q_norm.weight" in sd:
+            blk["attn"]["q_norm"] = {"w": jnp.asarray(_np(sd[f"{b}.attn.q_norm.weight"]))}
+            blk["attn"]["k_norm"] = {"w": jnp.asarray(_np(sd[f"{b}.attn.k_norm.weight"]))}
+        blocks.append(blk)
+
+    import jax
+
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    if f"{t}.long_skip_connection.weight" in sd:
+        params["long_skip"] = _lin(sd, f"{t}.long_skip_connection", bias=False)
+    return params
+
+
+def convert_vocos_state_dict(sd: Mapping, num_layers: int = 8) -> dict:
+    """charactr/vocos-mel-24khz state dict -> f5tts_tpu Vocos param pytree."""
+    import jax
+
+    blocks = []
+    for i in range(num_layers):
+        p = f"backbone.convnext.{i}"
+        blocks.append({
+            "dwconv": _conv(sd, f"{p}.dwconv"),
+            "norm_w": jnp.asarray(_np(sd[f"{p}.norm.weight"])),
+            "norm_b": jnp.asarray(_np(sd[f"{p}.norm.bias"])),
+            "pw1": _lin(sd, f"{p}.pwconv1"),
+            "pw2": _lin(sd, f"{p}.pwconv2"),
+            "gamma": jnp.asarray(_np(sd[f"{p}.gamma"]).reshape(-1)),
+        })
+    return {
+        "embed": _conv(sd, "backbone.embed"),
+        "in_norm_w": jnp.asarray(_np(sd["backbone.norm.weight"])),
+        "in_norm_b": jnp.asarray(_np(sd["backbone.norm.bias"])),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "final_norm_w": jnp.asarray(_np(sd["backbone.final_layer_norm.weight"])),
+        "final_norm_b": jnp.asarray(_np(sd["backbone.final_layer_norm.bias"])),
+        "head": _lin(sd, "head.out"),
+    }
