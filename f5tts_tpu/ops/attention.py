@@ -113,11 +113,11 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array)
             num_scalar_prefetch=1,  # lengths, indexed per-batch inside the kernel
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, d), lambda lens, bi, hi, qi: (bi, hi, qi, 0)),
-                pl.BlockSpec((1, 1, n, d), lambda lens, bi, hi, qi: (bi, hi, 0, 0)),
-                pl.BlockSpec((1, 1, n, d), lambda lens, bi, hi, qi: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda lens, bi, hi, qi: (bi, hi, qi, 0)),
+            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(

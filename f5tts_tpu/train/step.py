@@ -1,0 +1,107 @@
+"""Training step: AdamW + warmup/decay schedule + grad clip + EMA.
+
+Optimization recipe mirrors the reference Trainer (src/f5_tts/model/trainer.py):
+- AdamW (trainer.py:138-143)
+- linear warmup 1e-8 -> peak lr over num_warmup_updates, then linear decay
+  back to 1e-8 over the remainder (SequentialLR, trainer.py:322-326)
+- global-norm gradient clipping at max_grad_norm (trainer.py:379-380)
+- EMA of model weights (ema_pytorch semantics: decay 0.999, update_every 10,
+  update_after_step 100; trainer.py:106-108)
+
+Everything is one jitted function; DP gradient psum is inserted by XLA when
+the batch is sharded over the mesh "data" axis and params are replicated on it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from f5tts_tpu.config import CFMConfig
+from f5tts_tpu.models import cfm, dit
+
+
+class TrainState(NamedTuple):
+    step: jax.Array          # scalar int32, update counter
+    params: dict
+    opt_state: optax.OptState
+    ema_params: dict
+
+
+def make_optimizer(
+    learning_rate: float,
+    warmup_updates: int,
+    total_updates: int,
+    max_grad_norm: float = 1.0,
+    weight_decay: float = 0.01,
+) -> optax.GradientTransformation:
+    """AdamW with the reference's warmup->decay ramp (trainer.py:316-326)."""
+    decay_updates = max(total_updates - warmup_updates, 1)
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(1e-8, learning_rate, warmup_updates),
+            optax.linear_schedule(learning_rate, 1e-8, decay_updates),
+        ],
+        boundaries=[warmup_updates],
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay),
+    )
+
+
+def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(lambda a: a, params),
+    )
+
+
+def make_train_step(
+    statics: dit.DiTStatics,
+    tx: optax.GradientTransformation,
+    cfg: CFMConfig = CFMConfig(),
+    ema_decay: float = 0.999,
+    ema_update_every: int = 10,
+    ema_update_after_step: int = 100,
+    dtype=jnp.bfloat16,
+    backend: str = "xla",
+):
+    """Returns a jittable fn(state, key, mel, text, lens) -> (state, metrics)."""
+
+    def loss_fn(params, key, mel, text, lens):
+        loss, _ = cfm.cfm_loss(params, statics, key, mel, text, lens,
+                               cfg=cfg, dtype=dtype, backend=backend)
+        return loss
+
+    def train_step(state: TrainState, key, mel, text, lens):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, key, mel, text, lens)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        step = state.step + 1
+
+        # EMA (ema_pytorch semantics): copy weights until update_after_step,
+        # then decay-average every `ema_update_every` updates.
+        do_update = (step % ema_update_every == 0)
+        past_warmup = step > ema_update_after_step
+
+        def ema_new(e, p):
+            decayed = e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay)
+            tracked = jnp.where(past_warmup, decayed, p.astype(e.dtype))
+            return jnp.where(do_update, tracked, e)
+
+        ema_params = jax.tree.map(ema_new, state.ema_params, params)
+
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(step=step, params=params, opt_state=opt_state, ema_params=ema_params),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return train_step

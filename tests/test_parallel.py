@@ -1,0 +1,66 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from f5tts_tpu.config import ModelArch
+from f5tts_tpu.models import dit
+from f5tts_tpu.parallel.mesh import dit_param_specs, make_mesh, shard_params
+
+ARCH = ModelArch(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=16,
+                 text_num_embeds=30, text_dim=32, conv_layers=1)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    return make_mesh(data=4, model=2)
+
+
+def test_param_specs_structure():
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    specs = dit_param_specs(params)
+    # stacked block qkv kernels: (depth, in, out) column-sharded on model
+    assert specs["blocks"]["attn"]["to_q"]["w"] == P(None, None, "model")
+    assert specs["blocks"]["attn"]["to_out"]["w"] == P(None, "model", None)
+    assert specs["blocks"]["ff"]["in"]["w"] == P(None, None, "model")
+    assert specs["blocks"]["ff"]["out"]["w"] == P(None, "model", None)
+    # non-TP params replicated
+    assert specs["proj_out"]["w"] == P(None, None)
+    assert specs["time_embed"]["mlp1"]["w"] == P(None, None)
+
+
+def test_tp_forward_matches_single_device(mesh):
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    rng = np.random.default_rng(0)
+    b, n, nt = 4, 64, 12
+    x = jnp.asarray(rng.standard_normal((b, n, 16)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, n, 16)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (b, nt)), jnp.int32)
+    time = jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32)
+
+    # single device baseline (denseify zero-init outputs by perturbing proj_out)
+    params = jax.tree.map(
+        lambda a: a + 0.01 * jnp.ones_like(a) if a.ndim > 0 else a, params
+    )
+    ref = np.asarray(dit.dit_forward(params, statics, x, cond, text, time, backend="xla"))
+
+    sharded = shard_params(params, mesh)
+    dsh = NamedSharding(mesh, P("data"))
+    xs, cs, ts, tms = (jax.device_put(a, dsh) for a in (x, cond, text, time))
+
+    with jax.set_mesh(mesh):
+        out = jax.jit(
+            lambda p, x_, c_, t_, tm: dit.dit_forward(p, statics, x_, c_, t_, tm, backend="xla")
+        )(sharded, xs, cs, ts, tms)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
