@@ -1,0 +1,259 @@
+"""End-to-end zero-shot inference pipeline.
+
+Rebuild of the reference inference layer (src/f5_tts/infer/utils_infer.py):
+- chunk_text (:73-102): sentence split on punctuation, utf-8 byte budget
+- speech-rate-scaled chunk budget (:404): max_chars = ref_bytes/ref_secs *
+  (22 - ref_secs) * speed
+- duration estimate (:486-493): ref_frames + ref_frames/ref_bytes * gen_bytes
+  / speed; short text (<10 bytes) forces speed 0.3
+- RMS normalize to 0.1 and restore (:463-465, 514-515)
+- cross-fade stitching (:553-585), streaming chunk generator (:528-537)
+
+TPU specifics: target durations are padded up to compile buckets (multiples
+of `bucket_size` frames) so the jitted sampler compiles once per bucket; the
+valid length rides in `duration` and masking handles the tail — the
+reference recompiles nothing but pays per-step host dispatch instead.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Generator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5tts_tpu.config import MelConfig, ModelArch, SamplingConfig
+from f5tts_tpu.infer import audio_io
+from f5tts_tpu.models import cfm, dit
+from f5tts_tpu.ops.mel import MelFrontend
+from f5tts_tpu.text.pinyin import convert_char_to_pinyin
+from f5tts_tpu.text.vocab import list_str_to_idx, list_str_to_tensor
+from f5tts_tpu.utils import duration_bucket, make_time_grid
+
+
+def chunk_text(text: str, max_chars: int = 135) -> list[str]:
+    """Reference utils_infer.py:73-102: split on sentence punctuation, pack
+    to a utf-8 byte budget."""
+    chunks: list[str] = []
+    current = ""
+    sentences = re.split(r"(?<=[;:,.!?])\s+|(?<=[；：，。！？])", text)
+    for sentence in sentences:
+        if not sentence:
+            continue
+        joiner = " " if sentence and len(sentence[-1].encode("utf-8")) == 1 else ""
+        if len(current.encode("utf-8")) + len(sentence.encode("utf-8")) <= max_chars:
+            current += sentence + joiner
+        else:
+            if current:
+                chunks.append(current.strip())
+            current = sentence + joiner
+    if current:
+        chunks.append(current.strip())
+    return chunks
+
+
+def max_chars_for_ref(ref_text: str, ref_audio_secs: float, speed: float = 1.0) -> int:
+    """Reference utils_infer.py:404."""
+    return int(
+        len(ref_text.encode("utf-8")) / max(ref_audio_secs, 1e-6)
+        * (22 - ref_audio_secs) * speed
+    )
+
+
+def estimate_duration_frames(
+    ref_frames: int, ref_text: str, gen_text: str, speed: float = 1.0,
+    fix_duration_secs: Optional[float] = None,
+    sample_rate: int = 24000, hop: int = 256,
+) -> int:
+    """Reference utils_infer.py:486-493."""
+    if fix_duration_secs is not None:
+        return int(fix_duration_secs * sample_rate / hop)
+    if len(gen_text.encode("utf-8")) < 10:
+        speed = 0.3
+    ref_bytes = max(len(ref_text.encode("utf-8")), 1)
+    gen_bytes = len(gen_text.encode("utf-8"))
+    return ref_frames + int(ref_frames / ref_bytes * gen_bytes / speed)
+
+
+def cross_fade(waves: list[np.ndarray], sr: int, duration: float = 0.15) -> np.ndarray:
+    """Reference utils_infer.py:553-585."""
+    if not waves:
+        return np.zeros(0, np.float32)
+    if duration <= 0:
+        return np.concatenate(waves)
+    out = waves[0]
+    for nxt in waves[1:]:
+        n = int(duration * sr)
+        n = min(n, len(out), len(nxt))
+        if n <= 0:
+            out = np.concatenate([out, nxt])
+            continue
+        fade_out = np.linspace(1.0, 0.0, n, dtype=np.float32)
+        fade_in = np.linspace(0.0, 1.0, n, dtype=np.float32)
+        overlap = out[-n:] * fade_out + nxt[:n] * fade_in
+        out = np.concatenate([out[:-n], overlap, nxt[n:]])
+    return out
+
+
+@dataclass
+class InferencePipeline:
+    """Zero-shot voice cloning: (ref wav, ref text, gen text) -> waveform.
+
+    Holds the DiT params + statics, the vocoder, the mel front end, and the
+    tokenizer; drives the jitted CFM sampler with compile-bucketed shapes.
+    """
+
+    params: dict
+    statics: dit.DiTStatics
+    vocoder: object                    # callable mel [b, d, t] -> wav [b, n]
+    vocab_char_map: Optional[dict] = None
+    mel_cfg: MelConfig = field(default_factory=MelConfig)
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    tokenizer: str = "pinyin"          # "pinyin" | "char" | "byte"
+    dtype: object = jnp.bfloat16
+    backend: str = "pallas"
+    bucket_size: int = 256
+
+    def __post_init__(self):
+        self.mel = MelFrontend(self.mel_cfg)
+        self.hop = self.mel_cfg.hop_length
+        self.sr = self.mel_cfg.target_sample_rate
+
+    # -- host-side text prep ------------------------------------------------
+
+    def tokenize(self, texts: list[str]) -> np.ndarray:
+        if self.tokenizer == "pinyin":
+            token_lists = convert_char_to_pinyin(texts)
+            return list_str_to_idx(token_lists, self.vocab_char_map)
+        if self.tokenizer == "char":
+            return list_str_to_idx(texts, self.vocab_char_map)
+        return list_str_to_tensor(texts)
+
+    # -- core single-chunk generation --------------------------------------
+
+    def generate_chunk(
+        self,
+        ref_wav: np.ndarray,         # [n] float32, already at target sr
+        ref_text: str,
+        gen_text: str,
+        seed: int = 0,
+        speed: Optional[float] = None,
+        fix_duration: Optional[float] = None,
+        nfe_step: Optional[int] = None,
+        cfg_strength: Optional[float] = None,
+        sway_sampling_coef: Optional[float] = "default",
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (wave [n], gen mel [d, t]). One text chunk."""
+        s = self.sampling
+        speed = s.speed if speed is None else speed
+        nfe = s.nfe_steps if nfe_step is None else nfe_step
+        cfg_strength = s.cfg_strength if cfg_strength is None else cfg_strength
+        sway = s.sway_sampling_coef if sway_sampling_coef == "default" else sway_sampling_coef
+
+        # rms normalize (restored after vocoding)
+        ref_rms = audio_io.rms(ref_wav)
+        if ref_rms < s.target_rms and ref_rms > 0:
+            ref_wav = ref_wav * (s.target_rms / ref_rms)
+
+        ref_mel = np.asarray(self.mel.frames_to_mel_bnd(jnp.asarray(ref_wav[None, :])))[0]
+        ref_frames = ref_mel.shape[0]
+
+        total_frames = estimate_duration_frames(
+            ref_frames, ref_text, gen_text, speed, fix_duration,
+            self.sr, self.hop,
+        )
+        text_ids = self.tokenize([ref_text + gen_text])
+        total_frames = int(cfm.compute_duration(
+            jnp.asarray([text_ids.shape[1]]), jnp.asarray([ref_frames]),
+            jnp.asarray([total_frames]), s.max_duration,
+        )[0])
+
+        n_bucket = duration_bucket(total_frames, self.bucket_size, s.max_duration)
+        cond = np.zeros((1, n_bucket, self.mel_cfg.n_mel_channels), np.float32)
+        cond[0, :ref_frames] = ref_mel
+
+        t_grid = make_time_grid(nfe, sway_sampling_coef=sway, use_epss=s.use_epss)
+
+        mel_out = cfm.cfm_sample(
+            self.params, self.statics,
+            jnp.asarray(cond), jnp.asarray(text_ids),
+            jnp.asarray([ref_frames], jnp.int32),
+            jnp.asarray([total_frames], jnp.int32),
+            t_grid,
+            key=jax.random.PRNGKey(seed),
+            cfg_strength=cfg_strength,
+            dtype=self.dtype, backend=self.backend,
+        )
+        gen_mel = mel_out[:, ref_frames:total_frames, :]        # [1, t, d]
+        gen_mel_bdt = jnp.transpose(gen_mel, (0, 2, 1))
+        wave = np.asarray(self.vocoder(gen_mel_bdt))[0]
+
+        if ref_rms < s.target_rms and ref_rms > 0:
+            wave = wave * (ref_rms / s.target_rms)
+        return wave.astype(np.float32), np.asarray(gen_mel_bdt)[0]
+
+    # -- multi-chunk --------------------------------------------------------
+
+    def infer(
+        self,
+        ref_wav: np.ndarray,
+        ref_sr: int,
+        ref_text: str,
+        gen_text: str,
+        seed: int = 0,
+        speed: Optional[float] = None,
+        fix_duration: Optional[float] = None,
+        nfe_step: Optional[int] = None,
+        cfg_strength: Optional[float] = None,
+        sway_sampling_coef: Optional[float] = "default",
+        cross_fade_duration: Optional[float] = None,
+    ) -> tuple[np.ndarray, int, np.ndarray]:
+        """Full pipeline: chunk text, generate, cross-fade.
+        Returns (wave, sample_rate, mel [d, t])."""
+        s = self.sampling
+        xf = s.cross_fade_duration if cross_fade_duration is None else cross_fade_duration
+        speed_v = s.speed if speed is None else speed
+
+        ref_wav = audio_io.resample(ref_wav, ref_sr, self.sr)
+        if not ref_text.endswith(". ") and not ref_text.endswith("。"):
+            ref_text = ref_text + " " if ref_text.endswith(".") else ref_text + ". "
+        if len(ref_text[-1].encode("utf-8")) == 1:
+            ref_text = ref_text + " " if not ref_text.endswith(" ") else ref_text
+
+        ref_secs = len(ref_wav) / self.sr
+        chunks = chunk_text(gen_text, max_chars=max(max_chars_for_ref(ref_text, ref_secs, speed_v), 16))
+        if not chunks:
+            return np.zeros(0, np.float32), self.sr, np.zeros((self.mel_cfg.n_mel_channels, 0))
+
+        waves, mels = [], []
+        for chunk in chunks:
+            w, mspec = self.generate_chunk(
+                ref_wav, ref_text, chunk, seed=seed, speed=speed,
+                fix_duration=fix_duration, nfe_step=nfe_step,
+                cfg_strength=cfg_strength, sway_sampling_coef=sway_sampling_coef,
+            )
+            waves.append(w)
+            mels.append(mspec)
+
+        final = cross_fade(waves, self.sr, xf)
+        return final, self.sr, np.concatenate(mels, axis=1)
+
+    def infer_stream(
+        self,
+        ref_wav: np.ndarray,
+        ref_sr: int,
+        ref_text: str,
+        gen_text_chunks: list[str],
+        chunk_size: int = 2048,
+        **kw,
+    ) -> Generator[tuple[np.ndarray, int], None, None]:
+        """Streaming mode (reference utils_infer.py:528-537): yields fixed-size
+        waveform chunks per generated text chunk."""
+        ref_wav = audio_io.resample(ref_wav, ref_sr, self.sr)
+        for gen_text in gen_text_chunks:
+            wave, _ = self.generate_chunk(ref_wav, ref_text, gen_text, **kw)
+            for j in range(0, len(wave), chunk_size):
+                yield wave[j : j + chunk_size], self.sr
