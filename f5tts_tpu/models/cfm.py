@@ -23,7 +23,7 @@ as `duration: [b] int32` and masking handles the tail.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,13 +34,69 @@ from f5tts_tpu.models import modules as m
 from f5tts_tpu.utils import lens_to_mask, mask_from_frac_lengths
 
 
+class BackboneDef(NamedTuple):
+    """Static description of a backbone: hashable, safe as a jit static arg."""
+
+    name: str
+    init: Callable          # (key, arch) -> params
+    statics_cls: type       # arch -> statics (constant tables)
+    forward: Callable       # (params, statics, x, cond, text, time, ...) -> flow
+    precompute_text_embeds: Callable  # (params, statics, text, n, lengths, dtype) -> (cond, uncond)
+
+
+def _dit_text_embeds(params, statics, text, n, lengths, dtype):
+    te_c = dit.text_embedding(params["text_embed"], statics, text, n,
+                              lengths=lengths, drop_text=False, dtype=dtype)
+    te_u = dit.text_embedding(params["text_embed"], statics, text, n,
+                              lengths=lengths, drop_text=True, dtype=dtype)
+    return te_c, te_u
+
+
+def _unett_text_embeds(params, statics, text, n, lengths, dtype):
+    # UNetT text embedding has no per-sample seq_len variant (unett.py:54-84)
+    te_c = dit.text_embedding(params["text_embed"], statics, text, n,
+                              lengths=None, drop_text=False, dtype=dtype)
+    te_u = dit.text_embedding(params["text_embed"], statics, text, n,
+                              lengths=None, drop_text=True, dtype=dtype)
+    return te_c, te_u
+
+
+def _mmdit_text_embeds(params, statics, text, n, lengths, dtype):
+    from f5tts_tpu.models.mmdit import mmdit_text_embedding
+
+    arch = statics.arch
+    te_c = mmdit_text_embedding(params["text_embed"], statics, text, False,
+                                arch.text_mask_padding, dtype)
+    te_u = mmdit_text_embedding(params["text_embed"], statics, text, True,
+                                arch.text_mask_padding, dtype)
+    return te_c, te_u
+
+
+def _make_backbones():
+    from f5tts_tpu.models.mmdit import MMDiTStatics, init_mmdit, mmdit_forward
+    from f5tts_tpu.models.unett import UNetTStatics, init_unett, unett_forward
+
+    return {
+        "DiT": BackboneDef("DiT", dit.init_dit, dit.DiTStatics, dit.dit_forward,
+                           _dit_text_embeds),
+        "UNetT": BackboneDef("UNetT", init_unett, UNetTStatics, unett_forward,
+                             _unett_text_embeds),
+        "MMDiT": BackboneDef("MMDiT", init_mmdit, MMDiTStatics, mmdit_forward,
+                             _mmdit_text_embeds),
+    }
+
+
+BACKBONES: dict[str, BackboneDef] = _make_backbones()
+DIT = BACKBONES["DiT"]
+
+
 # ---------------------------------------------------------------------------
 # Training
 # ---------------------------------------------------------------------------
 
 def cfm_loss(
     params: m.Params,
-    statics: dit.DiTStatics,
+    statics,
     key: jax.Array,
     mel: jax.Array,            # [b, n, d] target mel (x1)
     text: jax.Array,           # [b, nt] int ids, -1 padded
@@ -48,6 +104,7 @@ def cfm_loss(
     cfg: CFMConfig = CFMConfig(),
     dtype=jnp.bfloat16,
     backend: str = "pallas",
+    backbone: BackboneDef = None,
 ) -> tuple[jax.Array, dict]:
     """Returns (scalar loss, aux dict). Reference: cfm.py:231-302."""
     b, n, d = mel.shape
@@ -78,7 +135,8 @@ def cfm_loss(
     drop_audio = drop_audio | drop_both
     drop_text = drop_both
 
-    pred = dit.dit_forward(
+    forward = (backbone or DIT).forward
+    pred = forward(
         params, statics, phi, cond, text, time,
         lengths=lens, drop_audio_cond=drop_audio, drop_text=drop_text,
         dtype=dtype, backend=backend,
@@ -113,11 +171,12 @@ def make_noise(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("arch_statics", "steps", "method", "dtype", "backend", "use_mask"),
+    static_argnames=("arch_statics", "steps", "method", "dtype", "backend",
+                     "use_mask", "backbone"),
 )
 def _sample_scan(
     params,
-    arch_statics,       # DiTStatics (hashable static)
+    arch_statics,       # backbone statics (hashable static)
     y0,                 # [b, n, d] noise
     step_cond,          # [b, n, d] masked cond mel
     text,               # [b, nt]
@@ -129,19 +188,19 @@ def _sample_scan(
     dtype=jnp.bfloat16,
     backend: str = "pallas",
     use_mask: bool = True,
+    backbone: BackboneDef = None,
 ):
     statics = arch_statics
+    bdef = backbone or DIT
     b, n, d = y0.shape
     lengths = duration if use_mask else None
 
     # text embeds once (reference cache, done properly outside the NFE loop)
-    te_cond = dit.text_embedding(params["text_embed"], statics, text, n,
-                                 lengths=lengths, drop_text=False, dtype=dtype)
-    te_uncond = dit.text_embedding(params["text_embed"], statics, text, n,
-                                   lengths=lengths, drop_text=True, dtype=dtype)
+    te_cond, te_uncond = bdef.precompute_text_embeds(params, statics, text, n,
+                                                     lengths, dtype)
 
     def flow_fn(x, t_scalar):
-        pred_cfg = dit.dit_forward(
+        pred_cfg = bdef.forward(
             params, statics, x, step_cond, text, t_scalar,
             lengths=lengths, cfg_infer=True, text_embeds=(te_cond, te_uncond),
             dtype=dtype, backend=backend,
@@ -170,7 +229,7 @@ def _sample_scan(
 
 def cfm_sample(
     params: m.Params,
-    statics: dit.DiTStatics,
+    statics,
     cond: jax.Array,               # [b, n, d] prompt mel, zero-padded to bucket n
     text: jax.Array,               # [b, nt] int ids (-1 padded)
     lens: jax.Array,               # [b] prompt lengths (frames)
@@ -187,6 +246,7 @@ def cfm_sample(
     edit_mask: Optional[jax.Array] = None,
     no_ref_audio: bool = False,
     vocoder: Optional[Callable[[jax.Array], jax.Array]] = None,
+    backbone: BackboneDef = None,
 ) -> jax.Array:
     """Generate mel [b, n, d] (or waveform if `vocoder` given).
 
@@ -212,6 +272,7 @@ def cfm_sample(
         params, statics, y0, step_cond, text, duration,
         t_grid.astype(jnp.float32), jnp.float32(cfg_strength),
         steps, method=method, dtype=dtype, backend=backend, use_mask=use_mask,
+        backbone=backbone,
     )
 
     out = jnp.where(cond_mask[:, :, None], cond, sampled)

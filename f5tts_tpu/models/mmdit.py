@@ -1,0 +1,273 @@
+"""MMDiT backbone — SD3-style dual-stream (audio + text) transformer.
+
+Rebuild of reference src/f5_tts/model/backbones/mmdit.py:87-262 and the
+MMDiTBlock / JointAttnProcessor (src/f5_tts/model/modules.py:563-705, 763-846):
+
+- text stream: embedding + absolute freqs_cis position table (1024 max), pad
+  masking (mmdit.py:32-63)
+- audio stream: Linear(concat(x, cond)) + conv position embedding (mmdit.py:69-81)
+- joint attention: audio and text q/k/v concatenated on the sequence axis with
+  separate RoPE per stream; outputs split back (modules.py:563-705)
+- last block is context_pre_only: text stream gets only a final AdaLN, no
+  ffn/out-proj (modules.py:791, mmdit.py:124)
+
+The depth-1 uniform blocks run as a stacked lax.scan; the structurally
+different last block runs unrolled. Joint attention uses an explicit
+key-mask (audio prefix + text prefix), XLA path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from f5tts_tpu.config import ModelArch
+from f5tts_tpu.models import modules as m
+from f5tts_tpu.ops.attention import NEG_INF
+from f5tts_tpu.ops.rope import apply_rotary, precompute_freqs_cis, rope_freqs_interleaved
+
+TEXT_PRECOMPUTE_MAX_POS = 1024  # reference mmdit.py:39
+
+
+class MMDiTStatics:
+    def __init__(self, arch: ModelArch):
+        self.arch = arch
+        self.text_freqs_cis = precompute_freqs_cis(arch.dim, TEXT_PRECOMPUTE_MAX_POS)
+        self.rope_angles = rope_freqs_interleaved(arch.dim_head, 8192)
+
+
+def init_mmdit(key, arch: ModelArch) -> m.Params:
+    k_time, k_text, k_audio, k_blocks, k_final, k_proj = jax.random.split(key, 6)
+
+    def init_joint_attention(bk, context_pre_only: bool):
+        ks = jax.random.split(bk, 8)
+        inner = arch.heads * arch.dim_head
+        p = {
+            "to_q": m.init_linear(ks[0], arch.dim, inner),
+            "to_k": m.init_linear(ks[1], arch.dim, inner),
+            "to_v": m.init_linear(ks[2], arch.dim, inner),
+            "to_q_c": m.init_linear(ks[3], arch.dim, inner),
+            "to_k_c": m.init_linear(ks[4], arch.dim, inner),
+            "to_v_c": m.init_linear(ks[5], arch.dim, inner),
+            "to_out": m.init_linear(ks[6], inner, arch.dim),
+        }
+        if not context_pre_only:
+            p["to_out_c"] = m.init_linear(ks[7], inner, arch.dim)
+        if arch.qk_norm == "rms_norm":
+            p["q_norm"] = m.init_rms_norm(arch.dim_head)
+            p["k_norm"] = m.init_rms_norm(arch.dim_head)
+            p["c_q_norm"] = m.init_rms_norm(arch.dim_head)
+            p["c_k_norm"] = m.init_rms_norm(arch.dim_head)
+        return p
+
+    def init_block(bk, context_pre_only: bool):
+        k1, k2, k3, k4, k5 = jax.random.split(bk, 5)
+        blk = {
+            "attn_norm_x": m.init_adaln(k1, arch.dim, zero=True),
+            "attn": init_joint_attention(k2, context_pre_only),
+            "ff_x": m.init_feed_forward(k3, arch.dim, arch.ff_mult),
+        }
+        if context_pre_only:
+            blk["attn_norm_c"] = m.init_adaln_final(k4, arch.dim, zero=True)
+        else:
+            blk["attn_norm_c"] = m.init_adaln(k4, arch.dim, zero=True)
+            blk["ff_c"] = m.init_feed_forward(k5, arch.dim, arch.ff_mult)
+        return blk
+
+    block_keys = jax.random.split(k_blocks, arch.depth)
+    body_blocks = [init_block(block_keys[i], False) for i in range(arch.depth - 1)]
+
+    return {
+        "time_embed": m.init_timestep_embedding(k_time, arch.dim),
+        "text_embed": {"embed": m.init_embedding(k_text, arch.text_num_embeds + 1, arch.dim)},
+        "audio_embed": {
+            "linear": m.init_linear(k_audio, 2 * arch.mel_dim, arch.dim),
+            "conv_pos": m.init_conv_pos_embedding(jax.random.fold_in(k_audio, 1), arch.dim),
+        },
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *body_blocks),
+        "last_block": init_block(block_keys[-1], True),
+        "norm_out": m.init_adaln_final(k_final, arch.dim, zero=True),
+        "proj_out": m.init_linear(k_proj, arch.dim, arch.mel_dim, zero=True),
+    }
+
+
+def mmdit_text_embedding(p, statics, text, drop_text=False, mask_padding=True, dtype=jnp.float32):
+    """Reference mmdit.py:42-63."""
+    text = text + 1
+    pad_mask = text == 0
+    if isinstance(drop_text, jax.Array):
+        text = jnp.where(drop_text[:, None], 0, text)
+    elif drop_text:
+        text = jnp.zeros_like(text)
+    emb = m.embedding(p["embed"], text).astype(dtype)
+    nt = text.shape[1]
+    pos = statics.text_freqs_cis[: min(nt, TEXT_PRECOMPUTE_MAX_POS)]
+    if nt > pos.shape[0]:  # clamp long positions at the table edge (ref :229)
+        pos = jnp.concatenate(
+            [pos, jnp.broadcast_to(pos[-1:], (nt - pos.shape[0], pos.shape[1]))], 0)
+    emb = emb + pos[None].astype(dtype)
+    if mask_padding:
+        emb = jnp.where(pad_mask[:, :, None], 0.0, emb)
+    return emb
+
+
+def _joint_attention(p, x, c, heads, rope_audio, rope_text, audio_kmask, text_kmask):
+    """modules.py:581-705: concat streams, attend, split."""
+    b, n, _ = x.shape
+    nt = c.shape[1]
+    dh = p["to_q"]["w"].shape[1] // heads
+
+    def heads_split(t):
+        return t.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
+
+    q = heads_split(m.linear(p["to_q"], x))
+    k = heads_split(m.linear(p["to_k"], x))
+    v = heads_split(m.linear(p["to_v"], x))
+    cq = heads_split(m.linear(p["to_q_c"], c))
+    ck = heads_split(m.linear(p["to_k_c"], c))
+    cv = heads_split(m.linear(p["to_v_c"], c))
+
+    if "q_norm" in p:
+        q = m.rms_norm(p["q_norm"], q)
+        k = m.rms_norm(p["k_norm"], k)
+        cq = m.rms_norm(p["c_q_norm"], cq)
+        ck = m.rms_norm(p["c_k_norm"], ck)
+
+    q = apply_rotary(q, rope_audio)
+    k = apply_rotary(k, rope_audio)
+    cq = apply_rotary(cq, rope_text)
+    ck = apply_rotary(ck, rope_text)
+
+    qj = jnp.concatenate([q, cq], axis=2)
+    kj = jnp.concatenate([k, ck], axis=2)
+    vj = jnp.concatenate([v, cv], axis=2)
+
+    scale = 1.0 / math.sqrt(dh)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qj, kj, preferred_element_type=jnp.float32) * scale
+    if audio_kmask is not None or text_kmask is not None:
+        am = audio_kmask if audio_kmask is not None else jnp.ones((b, n), bool)
+        tm = text_kmask if text_kmask is not None else jnp.ones((b, nt), bool)
+        kmask = jnp.concatenate([am, tm], axis=1)  # [b, n+nt]
+        scores = jnp.where(kmask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(vj.dtype), vj)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n + nt, heads * dh)
+
+    xo, co = o[:, :n], o[:, n:]
+    xo = m.linear(p["to_out"], xo)
+    if "to_out_c" in p:
+        co = m.linear(p["to_out_c"], co)
+    if audio_kmask is not None:
+        xo = jnp.where(audio_kmask[:, :, None], xo, 0.0)
+    if text_kmask is not None and "to_out_c" in p:
+        co = jnp.where(text_kmask[:, :, None], co, 0.0)
+    return xo, co
+
+
+def _mmdit_block(blk, x, c, t_emb, heads, rope_audio, rope_text,
+                 audio_kmask, text_kmask, context_pre_only=False):
+    """modules.py:816-846."""
+    if context_pre_only:
+        norm_c = m.adaln_final(blk["attn_norm_c"], c, t_emb)
+    else:
+        c_sm, c_ss, c_gm, c_s2, c_sc2, c_g2 = m.adaln_modulation(blk["attn_norm_c"], t_emb)
+        norm_c = m.adaln_pre(c, c_sm, c_ss)
+    x_sm, x_ss, x_gm, x_s2, x_sc2, x_g2 = m.adaln_modulation(blk["attn_norm_x"], t_emb)
+    norm_x = m.adaln_pre(x, x_sm, x_ss)
+
+    x_attn, c_attn = _joint_attention(blk["attn"], norm_x, norm_c, heads,
+                                      rope_audio, rope_text, audio_kmask, text_kmask)
+
+    if context_pre_only:
+        c = None
+    else:
+        c = c + c_gm[:, None, :] * c_attn
+        norm_c = m.layer_norm(c) * (1.0 + c_sc2[:, None, :]) + c_s2[:, None, :]
+        c = c + c_g2[:, None, :] * m.feed_forward(blk["ff_c"], norm_c)
+
+    x = x + x_gm[:, None, :] * x_attn
+    norm_x = m.layer_norm(x) * (1.0 + x_sc2[:, None, :]) + x_s2[:, None, :]
+    x = x + x_g2[:, None, :] * m.feed_forward(blk["ff_x"], norm_x)
+    return x, c
+
+
+def mmdit_forward(
+    params: m.Params,
+    statics: MMDiTStatics,
+    x: jax.Array,
+    cond: jax.Array,
+    text: jax.Array,
+    time: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    drop_audio_cond=False,
+    drop_text=False,
+    cfg_infer: bool = False,
+    text_embeds: Optional[tuple] = None,
+    dtype=jnp.float32,
+    backend: str = "xla",
+) -> jax.Array:
+    """Reference mmdit.py:214-262."""
+    arch = statics.arch
+    b, n, _ = x.shape
+    nt = text.shape[1]
+    if time.ndim == 0:
+        time = jnp.broadcast_to(time, (b,))
+
+    t_emb = m.timestep_embedding(params["time_embed"], time, dtype=dtype)
+    x = x.astype(dtype)
+    cond = cond.astype(dtype)
+
+    c_kmask = (text + 1) != 0  # valid text positions (mmdit.py:232)
+    audio_kmask = None
+    if lengths is not None:
+        audio_kmask = jnp.arange(n)[None, :] < lengths[:, None]
+
+    def audio_embed(xx, cc, drop):
+        if isinstance(drop, jax.Array):
+            cc = jnp.where(drop[:, None, None], 0.0, cc)
+        elif drop:
+            cc = jnp.zeros_like(cc)
+        h = m.linear(params["audio_embed"]["linear"], jnp.concatenate([xx, cc], axis=-1))
+        return m.conv_pos_embedding(params["audio_embed"]["conv_pos"], h) + h
+
+    if cfg_infer:
+        if text_embeds is None:
+            c_c = mmdit_text_embedding(params["text_embed"], statics, text, False,
+                                       arch.text_mask_padding, dtype)
+            c_u = mmdit_text_embedding(params["text_embed"], statics, text, True,
+                                       arch.text_mask_padding, dtype)
+        else:
+            c_c, c_u = text_embeds
+        h = jnp.concatenate([audio_embed(x, cond, False), audio_embed(x, cond, True)], 0)
+        c = jnp.concatenate([c_c, c_u], axis=0)
+        t_emb = jnp.concatenate([t_emb, t_emb], axis=0)
+        c_kmask = jnp.concatenate([c_kmask, c_kmask], axis=0)
+        if audio_kmask is not None:
+            audio_kmask = jnp.concatenate([audio_kmask, audio_kmask], axis=0)
+    else:
+        if text_embeds is None:
+            c = mmdit_text_embedding(params["text_embed"], statics, text, drop_text,
+                                     arch.text_mask_padding, dtype)
+        else:
+            c = text_embeds[1] if (drop_text is True) else text_embeds[0]
+        h = audio_embed(x, cond, drop_audio_cond)
+
+    rope_audio = statics.rope_angles[:n]
+    rope_text = statics.rope_angles[:nt]
+
+    def body(carry, blk):
+        xx, cc = carry
+        xx, cc = _mmdit_block(blk, xx, cc, t_emb, arch.heads, rope_audio, rope_text,
+                              audio_kmask, c_kmask, context_pre_only=False)
+        return (xx, cc), None
+
+    (h, c), _ = jax.lax.scan(body, (h, c), params["blocks"])
+    h, _ = _mmdit_block(params["last_block"], h, c, t_emb, arch.heads,
+                        rope_audio, rope_text, audio_kmask, c_kmask,
+                        context_pre_only=True)
+
+    h = m.adaln_final(params["norm_out"], h, t_emb)
+    return m.linear(params["proj_out"], h).astype(jnp.float32)

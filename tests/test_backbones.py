@@ -1,0 +1,126 @@
+"""UNetT and MMDiT backbones: shapes, masking, and CFM integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from f5tts_tpu.config import ModelArch
+from f5tts_tpu.models import cfm
+from f5tts_tpu.models.cfm import BACKBONES
+from f5tts_tpu.utils import make_time_grid
+
+UNETT_ARCH = ModelArch(dim=64, depth=4, heads=2, dim_head=32, ff_mult=2, mel_dim=16,
+                       text_num_embeds=30, text_dim=32, conv_layers=1,
+                       skip_connect_type="concat")
+MMDIT_ARCH = ModelArch(dim=64, depth=3, heads=2, dim_head=32, ff_mult=2, mel_dim=16,
+                       text_num_embeds=30, text_mask_padding=True)
+
+
+def _inputs(arch, b=2, n=32, nt=10, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, n, arch.mel_dim)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, n, arch.mel_dim)), jnp.float32)
+    text = np.full((b, nt), -1, np.int32)
+    text[0, :8] = rng.integers(0, arch.text_num_embeds, 8)
+    text[1, :5] = rng.integers(0, arch.text_num_embeds, 5)
+    time = jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32)
+    return x, cond, jnp.asarray(text), time
+
+
+@pytest.mark.parametrize("name,arch", [("UNetT", UNETT_ARCH), ("MMDiT", MMDIT_ARCH)])
+def test_backbone_forward_shapes(name, arch):
+    bd = BACKBONES[name]
+    params = bd.init(jax.random.PRNGKey(0), arch)
+    statics = bd.statics_cls(arch)
+    x, cond, text, time = _inputs(arch)
+    out = bd.forward(params, statics, x, cond, text, time, backend="xla")
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("name,arch", [("UNetT", UNETT_ARCH), ("MMDiT", MMDIT_ARCH)])
+def test_backbone_cfg_double_batch(name, arch):
+    bd = BACKBONES[name]
+    params = bd.init(jax.random.PRNGKey(0), arch)
+    statics = bd.statics_cls(arch)
+    x, cond, text, time = _inputs(arch)
+    lens = jnp.asarray([32, 24], jnp.int32)
+    out = bd.forward(params, statics, x, cond, text, time, lengths=lens,
+                     cfg_infer=True, backend="xla")
+    assert out.shape == (4, 32, arch.mel_dim)
+
+
+def test_unett_skip_connections_change_output():
+    """The skip stack must actually feed the second half: zeroing skip_proj
+    changes outputs."""
+    bd = BACKBONES["UNetT"]
+    params = bd.init(jax.random.PRNGKey(0), UNETT_ARCH)
+    statics = bd.statics_cls(UNETT_ARCH)
+    x, cond, text, time = _inputs(UNETT_ARCH)
+    out1 = np.asarray(bd.forward(params, statics, x, cond, text, time, backend="xla"))
+
+    params2 = jax.tree.map(lambda a: a, params)
+    params2["second_half"] = dict(params2["second_half"])
+    params2["second_half"]["skip_proj"] = {
+        "w": params2["second_half"]["skip_proj"]["w"].at[:, 64:, :].set(0.0)
+    }
+    out2 = np.asarray(bd.forward(params2, statics, x, cond, text, time, backend="xla"))
+    assert not np.allclose(out1, out2)
+
+
+def test_mmdit_zero_init_gives_zero():
+    bd = BACKBONES["MMDiT"]
+    params = bd.init(jax.random.PRNGKey(0), MMDIT_ARCH)
+    statics = bd.statics_cls(MMDIT_ARCH)
+    x, cond, text, time = _inputs(MMDIT_ARCH)
+    out = bd.forward(params, statics, x, cond, text, time, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("name,arch", [("UNetT", UNETT_ARCH), ("MMDiT", MMDIT_ARCH)])
+def test_cfm_sample_with_backbone(name, arch):
+    bd = BACKBONES[name]
+    params = bd.init(jax.random.PRNGKey(0), arch)
+    statics = bd.statics_cls(arch)
+    rng = np.random.default_rng(0)
+    n = 32
+    cond = jnp.asarray(rng.standard_normal((2, n, arch.mel_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (2, 8)), jnp.int32)
+    t_grid = make_time_grid(2, use_epss=False)
+    out = cfm.cfm_sample(
+        params, statics, cond, text,
+        jnp.asarray([12, 12], jnp.int32), jnp.asarray([32, 28], jnp.int32), t_grid,
+        key=jax.random.PRNGKey(1), dtype=jnp.float32, backend="xla", backbone=bd,
+    )
+    assert out.shape == (2, n, arch.mel_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("name,arch", [("UNetT", UNETT_ARCH), ("MMDiT", MMDIT_ARCH)])
+def test_cfm_loss_with_backbone(name, arch):
+    bd = BACKBONES[name]
+    params = bd.init(jax.random.PRNGKey(0), arch)
+    statics = bd.statics_cls(arch)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 32, arch.mel_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (2, 8)), jnp.int32)
+    lens = jnp.asarray([32, 24], jnp.int32)
+    loss, _ = cfm.cfm_loss(params, statics, jax.random.PRNGKey(1), mel, text, lens,
+                           dtype=jnp.float32, backend="xla", backbone=bd)
+    assert np.isfinite(float(loss))
+
+
+def test_unett_param_count_e2tts_base():
+    """E2TTS_Base (UNetT dim 1024 depth 24 ff 4) ~ 333.2M params (reference
+    scripts/count_params_gflops.py:21-23)."""
+    import dataclasses
+
+    from f5tts_tpu.config import PRESETS
+    from f5tts_tpu.models import modules as m
+
+    arch = dataclasses.replace(PRESETS["E2TTS_Base"].arch, text_num_embeds=2545)
+    bd = BACKBONES["UNetT"]
+    params = bd.init(jax.random.PRNGKey(0), arch)
+    n = m.count_params(params)
+    assert 328e6 < n < 340e6, f"got {n/1e6:.1f}M"
