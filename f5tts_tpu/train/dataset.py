@@ -1,0 +1,236 @@
+"""Training data pipeline: datasets, frame-budget batching, collation.
+
+Rebuild of reference src/f5_tts/model/dataset.py:
+
+- CustomDataset (:58-166): rows of {audio_path|mel, text, duration}; wav ->
+  mel on the fly; duration filter 0.3-30 s with skip-to-next on bad rows;
+  `get_frame_len` from duration.json drives the batch sampler.
+- DynamicBatchSampler (:170-241): sort all indices by frame length, greedily
+  pack batches up to `frames_threshold` frames and `max_samples` sequences,
+  drop oversized samples, per-epoch seeded shuffle of batch order,
+  drop_last for even sharding across data-parallel replicas.
+- collate (:313-334): pad mels to the batch max; here additionally rounded up
+  to a compile bucket so the jitted train step compiles once per bucket.
+
+Host-side mel extraction is pure numpy (np.fft.rfft + the same filterbank as
+the device path) so loader workers never touch the TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from f5tts_tpu.config import MelConfig
+from f5tts_tpu.ops.mel import mel_filterbank
+from f5tts_tpu.utils import round_up
+
+
+# ---------------------------------------------------------------------------
+# numpy mel (host-side, matches the device vocos/bigvgan paths)
+# ---------------------------------------------------------------------------
+
+class NumpyMel:
+    def __init__(self, cfg: MelConfig):
+        self.cfg = cfg
+        n = np.arange(cfg.win_length)
+        self.window = (0.5 - 0.5 * np.cos(2 * np.pi * n / cfg.win_length)).astype(np.float64)
+        if cfg.mel_spec_type == "vocos":
+            self.fb = mel_filterbank(cfg.target_sample_rate, cfg.n_fft,
+                                     cfg.n_mel_channels, mel_scale="htk", norm=None)
+        else:
+            self.fb = mel_filterbank(cfg.target_sample_rate, cfg.n_fft,
+                                     cfg.n_mel_channels, mel_scale="slaney", norm="slaney")
+
+    def __call__(self, wav: np.ndarray) -> np.ndarray:
+        """[l] -> [t, n_mels] log-mel (sequence-major)."""
+        c = self.cfg
+        if c.mel_spec_type == "vocos":
+            pad = c.n_fft // 2
+            x = np.pad(wav, (pad, pad), mode="reflect")
+        else:
+            pad = (c.n_fft - c.hop_length) // 2
+            x = np.pad(wav, (pad, pad), mode="reflect")
+        n_frames = (len(x) - c.n_fft) // c.hop_length + 1
+        idx = np.arange(c.n_fft)[None, :] + c.hop_length * np.arange(n_frames)[:, None]
+        frames = x[idx] * self.window[None, :]
+        spec = np.fft.rfft(frames, axis=-1)
+        if c.mel_spec_type == "vocos":
+            mag = np.abs(spec)
+        else:
+            mag = np.sqrt(spec.real**2 + spec.imag**2 + 1e-9)
+        mel = mag.astype(np.float32) @ self.fb.T  # [t, n_mels]
+        return np.log(np.clip(mel, 1e-5, None)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Datasets
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Sample:
+    mel: np.ndarray        # [t, n_mels]
+    text: str
+
+
+class CustomDataset:
+    """Arrow-backed dataset (reference dataset.py:58-166)."""
+
+    def __init__(
+        self,
+        data,                      # hf datasets Dataset or list of dicts
+        durations: Optional[Sequence[float]] = None,
+        mel_cfg: MelConfig = MelConfig(),
+        preprocessed_mel: bool = False,
+        audio_root: str = "",
+    ):
+        self.data = data
+        self.durations = durations
+        self.mel_cfg = mel_cfg
+        self.preprocessed_mel = preprocessed_mel
+        self.audio_root = audio_root
+        self.mel = NumpyMel(mel_cfg)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def get_frame_len(self, index: int) -> float:
+        cfg = self.mel_cfg
+        if self.durations is not None:
+            return self.durations[index] * cfg.target_sample_rate / cfg.hop_length
+        row = self.data[index]
+        return row["duration"] * cfg.target_sample_rate / cfg.hop_length
+
+    def __getitem__(self, index: int) -> Sample:
+        cfg = self.mel_cfg
+        while True:
+            row = self.data[index]
+            if self.preprocessed_mel:
+                mel = np.asarray(row["mel_spec"], np.float32)
+                if mel.shape[0] == cfg.n_mel_channels:
+                    mel = mel.T
+                return Sample(mel=mel, text=row["text"])
+            duration = row.get("duration")
+            if duration is None or 0.3 <= duration <= 30.0:
+                break
+            index = (index + 1) % len(self.data)  # skip bad rows (ref :129-140)
+        from f5tts_tpu.infer import audio_io
+
+        path = os.path.join(self.audio_root, row["audio_path"])
+        wav, sr = audio_io.read_wav(path)
+        wav = audio_io.resample(wav, sr, cfg.target_sample_rate)
+        return Sample(mel=self.mel(wav), text=row["text"])
+
+
+def load_dataset(
+    dataset_name: str,
+    tokenizer: str = "pinyin",
+    mel_cfg: MelConfig = MelConfig(),
+    data_root: Optional[str] = None,
+) -> CustomDataset:
+    """Resolve data/<name>_<tokenizer>/{raw.arrow, duration.json}
+    (reference dataset.py:247-307)."""
+    import datasets as hf_datasets
+
+    root = data_root or os.environ.get("F5TTS_DATA_ROOT", "data")
+    d = os.path.join(root, f"{dataset_name}_{tokenizer}")
+    if os.path.isdir(os.path.join(d, "raw")):
+        data = hf_datasets.load_from_disk(os.path.join(d, "raw"))
+    else:
+        data = hf_datasets.Dataset.from_file(os.path.join(d, "raw.arrow"))
+    durations = None
+    dur_path = os.path.join(d, "duration.json")
+    if os.path.exists(dur_path):
+        with open(dur_path) as f:
+            durations = json.load(f)["duration"]
+    return CustomDataset(data, durations=durations, mel_cfg=mel_cfg)
+
+
+# ---------------------------------------------------------------------------
+# Frame-budget batch sampler
+# ---------------------------------------------------------------------------
+
+class DynamicBatchSampler:
+    """Reference dataset.py:170-241."""
+
+    def __init__(
+        self,
+        frame_lens: Sequence[float],
+        frames_threshold: int,
+        max_samples: int = 0,
+        random_seed: Optional[int] = None,
+        drop_residual: bool = True,
+    ):
+        self.frames_threshold = frames_threshold
+        self.max_samples = max_samples
+        self.random_seed = random_seed
+        self.epoch = 0
+
+        indices = sorted(range(len(frame_lens)), key=lambda i: frame_lens[i])
+        batches: list[list[int]] = []
+        batch: list[int] = []
+        batch_frames = 0.0
+        for idx in indices:
+            fl = frame_lens[idx]
+            if fl > frames_threshold:
+                continue  # oversized sample dropped (ref :199-213)
+            if (batch_frames + fl <= frames_threshold
+                    and (max_samples == 0 or len(batch) < max_samples)):
+                batch.append(idx)
+                batch_frames += fl
+            else:
+                if batch:
+                    batches.append(batch)
+                batch = [idx]
+                batch_frames = fl
+        if batch and not drop_residual:
+            batches.append(batch)
+        self.batches = batches
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[list[int]]:
+        order = list(range(len(self.batches)))
+        if self.random_seed is not None:
+            rng = random.Random(self.random_seed + self.epoch)
+            rng.shuffle(order)
+        for i in order:
+            yield self.batches[i]
+
+
+# ---------------------------------------------------------------------------
+# Collation
+# ---------------------------------------------------------------------------
+
+def collate(
+    samples: list[Sample],
+    bucket_frames: int = 64,
+    max_frames: Optional[int] = None,
+) -> dict:
+    """Pad to batch max rounded up to `bucket_frames` (compile-bucket
+    discipline); returns numpy arrays + raw text list."""
+    lens = np.asarray([s.mel.shape[0] for s in samples], np.int32)
+    width = int(lens.max())
+    width = round_up(width, bucket_frames)
+    if max_frames is not None:
+        width = min(width, max_frames)
+    d = samples[0].mel.shape[1]
+    mel = np.zeros((len(samples), width, d), np.float32)
+    for i, s in enumerate(samples):
+        t = min(s.mel.shape[0], width)
+        mel[i, :t] = s.mel[:t]
+    return {
+        "mel": mel,
+        "mel_lengths": np.minimum(lens, width),
+        "text": [s.text for s in samples],
+        "text_lengths": np.asarray([len(s.text) for s in samples], np.int32),
+    }

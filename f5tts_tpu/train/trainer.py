@@ -1,0 +1,200 @@
+"""Trainer: the training loop over the jitted CFM step.
+
+Rebuild of reference src/f5_tts/model/trainer.py:26-442, TPU-shaped:
+
+- one jitted train step (loss+grad+AdamW+clip+EMA) instead of
+  Accelerate/DDP; DP happens by sharding each batch over the mesh "data"
+  axis (XLA psums grads), TP by the param specs in f5tts_tpu.parallel.
+- DynamicBatchSampler frame-budget batching with per-epoch seeded shuffle
+  and deterministic mid-epoch resume (skip_first_batches semantics,
+  trainer.py:333-349) — the sampler is rebuilt with the same seed and the
+  first `resume_batch` batches are skipped.
+- warmup scaled like the reference: num_warmup_updates is interpreted
+  per-device and multiplied by the DP world size (trainer.py:316-319).
+- EMA on the update cadence (trainer.py:386-388); checkpoints save
+  model+optimizer+EMA+step (orbax), heartbeat every last_per_updates,
+  numbered every save_per_updates with rotation.
+- tensorboard logging (wandb hooks gated on availability, trainer.py:59-102).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5tts_tpu.config import CFMConfig, TrainConfig
+from f5tts_tpu.models.cfm import DIT, BackboneDef
+from f5tts_tpu.text.pinyin import convert_char_to_pinyin
+from f5tts_tpu.text.vocab import list_str_to_idx, list_str_to_tensor
+from f5tts_tpu.train.checkpoint import CheckpointManager
+from f5tts_tpu.train.dataset import DynamicBatchSampler, collate
+from f5tts_tpu.train.step import init_train_state, make_optimizer, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        params: dict,
+        statics,
+        train_cfg: TrainConfig,
+        cfm_cfg: CFMConfig = CFMConfig(),
+        backbone: BackboneDef = DIT,
+        vocab_char_map: Optional[dict] = None,
+        tokenizer: str = "pinyin",
+        total_updates: Optional[int] = None,
+        mesh=None,
+        dtype=jnp.bfloat16,
+        backend: str = "xla",
+        logger: Optional[str] = None,
+        log_dir: str = "runs",
+        sample_fn: Optional[Callable] = None,
+    ):
+        self.cfg = train_cfg
+        self.backbone = backbone
+        self.statics = statics
+        self.vocab_char_map = vocab_char_map
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+
+        dp_size = 1
+        if mesh is not None:
+            dp_size = mesh.shape.get("data", 1)
+        self.dp_size = dp_size
+
+        warmup = train_cfg.num_warmup_updates * dp_size
+        total = total_updates or (warmup * 10)
+        self.tx = make_optimizer(
+            train_cfg.learning_rate, warmup, total, train_cfg.max_grad_norm
+        )
+        self.state = init_train_state(params, self.tx)
+        self._step_fn = jax.jit(make_train_step(
+            statics, self.tx, cfm_cfg,
+            ema_decay=train_cfg.ema_decay,
+            ema_update_every=train_cfg.ema_update_every,
+            ema_update_after_step=train_cfg.ema_update_after_step,
+            dtype=dtype, backend=backend,
+        ))
+
+        self.ckpt = CheckpointManager(train_cfg.save_dir, train_cfg.keep_last_n_checkpoints)
+        self.writer = None
+        logger = logger if logger is not None else train_cfg.logger
+        if logger == "tensorboard":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir=log_dir)
+            except Exception:
+                self.writer = None
+        elif logger == "wandb":
+            try:
+                import wandb
+
+                wandb.init(project="CFM-TTS", dir=log_dir)
+                self.writer = "wandb"
+            except Exception:
+                self.writer = None
+        self.sample_fn = sample_fn
+
+    # -- helpers ------------------------------------------------------------
+
+    def tokenize(self, texts: list[str], pad_to: Optional[int] = None) -> np.ndarray:
+        if self.tokenizer == "pinyin":
+            return list_str_to_idx(convert_char_to_pinyin(texts), self.vocab_char_map, pad_to=pad_to)
+        if self.tokenizer == "char":
+            return list_str_to_idx(texts, self.vocab_char_map, pad_to=pad_to)
+        return list_str_to_tensor(texts, pad_to=pad_to)
+
+    def _log(self, metrics: dict, step: int) -> None:
+        if self.writer == "wandb":
+            import wandb
+
+            wandb.log(metrics, step=step)
+        elif self.writer is not None:
+            for k, v in metrics.items():
+                self.writer.add_scalar(k, v, step)
+
+    def _device_put_batch(self, mel, text_ids, lens):
+        if self.mesh is None:
+            return jnp.asarray(mel), jnp.asarray(text_ids), jnp.asarray(lens)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dsh = NamedSharding(self.mesh, P("data"))
+        return (jax.device_put(jnp.asarray(mel), dsh),
+                jax.device_put(jnp.asarray(text_ids), dsh),
+                jax.device_put(jnp.asarray(lens), dsh))
+
+    # -- resume -------------------------------------------------------------
+
+    def maybe_resume(self) -> int:
+        restored = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = restored
+            return int(restored.step)
+        return 0
+
+    # -- loop ---------------------------------------------------------------
+
+    def train(self, dataset, resumable_with_seed: Optional[int] = 666,
+              max_updates: Optional[int] = None, log_every: int = 10) -> dict:
+        cfg = self.cfg
+        start_update = self.maybe_resume()
+        key = jax.random.PRNGKey(resumable_with_seed or 0)
+
+        frame_lens = [dataset.get_frame_len(i) for i in range(len(dataset))]
+        sampler = DynamicBatchSampler(
+            frame_lens,
+            frames_threshold=cfg.batch_size_per_device * self.dp_size,
+            max_samples=cfg.max_samples,
+            random_seed=resumable_with_seed,
+        )
+
+        updates_per_epoch = max(len(sampler) // max(cfg.grad_accumulation_steps, 1), 1)
+        start_epoch = start_update // updates_per_epoch
+        skip_batches = (start_update % updates_per_epoch) * cfg.grad_accumulation_steps
+
+        update = start_update
+        t0 = time.time()
+        last_metrics: dict = {}
+        for epoch in range(start_epoch, cfg.epochs):
+            sampler.set_epoch(epoch)
+            for bi, batch_idx in enumerate(sampler):
+                if epoch == start_epoch and bi < skip_batches:
+                    continue
+                samples = [dataset[i] for i in batch_idx]
+                batch = collate(samples)
+                # batch rows must be divisible over the data axis
+                if self.dp_size > 1 and len(samples) % self.dp_size != 0:
+                    keep = (len(samples) // self.dp_size) * self.dp_size
+                    if keep == 0:
+                        continue
+                    batch = {k: (v[:keep] if not isinstance(v, list) else v[:keep])
+                             for k, v in batch.items()}
+                text_ids = self.tokenize(batch["text"])
+                mel, text_ids, lens = self._device_put_batch(
+                    batch["mel"], text_ids, batch["mel_lengths"])
+
+                key, sub = jax.random.split(key)
+                self.state, metrics = self._step_fn(self.state, sub, mel, text_ids, lens)
+                update = int(self.state.step)
+
+                if update % log_every == 0:
+                    last_metrics = {k: float(v) for k, v in metrics.items()}
+                    last_metrics["updates_per_s"] = log_every / max(time.time() - t0, 1e-9)
+                    t0 = time.time()
+                    self._log(last_metrics, update)
+
+                if update % cfg.last_per_updates == 0 or update % cfg.save_per_updates == 0:
+                    self.ckpt.save(self.state)
+                    if self.sample_fn is not None and update % cfg.save_per_updates == 0:
+                        self.sample_fn(self.state.ema_params, update)
+
+                if max_updates is not None and update >= max_updates:
+                    self.ckpt.save(self.state, wait=True)
+                    return last_metrics
+        self.ckpt.save(self.state, wait=True)
+        return last_metrics

@@ -1,0 +1,169 @@
+"""Training stack: sampler, collate, numpy mel, trainer loop, checkpointing."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5tts_tpu.config import CFMConfig, MelConfig, ModelArch, TrainConfig
+from f5tts_tpu.models import dit
+from f5tts_tpu.ops.mel import MelFrontend
+from f5tts_tpu.train.dataset import DynamicBatchSampler, NumpyMel, Sample, collate
+from f5tts_tpu.train.step import init_train_state, make_optimizer, make_train_step
+
+ARCH = ModelArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+                 text_num_embeds=30, text_dim=16, conv_layers=1)
+
+
+def test_dynamic_batch_sampler_packing():
+    frame_lens = [10, 20, 30, 40, 50, 200]
+    s = DynamicBatchSampler(frame_lens, frames_threshold=60, max_samples=3,
+                            random_seed=0, drop_residual=False)
+    batches = list(s)
+    flat = [i for b in batches for i in b]
+    assert 5 not in flat  # oversized (200 > 60) dropped
+    assert sorted(flat) == [0, 1, 2, 3, 4]
+    for b in batches:
+        assert sum(frame_lens[i] for i in b) <= 60
+        assert len(b) <= 3
+
+
+def test_dynamic_batch_sampler_epoch_shuffle_deterministic():
+    frame_lens = list(range(10, 200, 7))
+    s1 = DynamicBatchSampler(frame_lens, 300, random_seed=42)
+    s2 = DynamicBatchSampler(frame_lens, 300, random_seed=42)
+    s1.set_epoch(3)
+    s2.set_epoch(3)
+    assert list(s1) == list(s2)
+    s2.set_epoch(4)
+    assert list(s1) != list(s2)
+
+
+def test_collate_bucket_padding():
+    samples = [Sample(mel=np.ones((70, 8), np.float32), text="abc"),
+               Sample(mel=np.ones((50, 8), np.float32), text="de")]
+    batch = collate(samples, bucket_frames=64)
+    assert batch["mel"].shape == (2, 128, 8)
+    np.testing.assert_array_equal(batch["mel_lengths"], [70, 50])
+    assert batch["mel"][1, 60].sum() == 0  # padded region zeroed
+
+
+def test_numpy_mel_matches_device_mel():
+    cfg = MelConfig()
+    nm = NumpyMel(cfg)
+    fe = MelFrontend(cfg)
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(24000) * 0.1).astype(np.float32)
+    m_np = nm(wav)                                          # [t, d]
+    m_dev = np.asarray(fe.frames_to_mel_bnd(jnp.asarray(wav[None])))[0]
+    assert m_np.shape == m_dev.shape
+    np.testing.assert_allclose(m_np, m_dev, atol=2e-2, rtol=1e-2)
+
+
+def _synthetic_batch(b=2, n=64, nt=8, seed=0):
+    rng = np.random.default_rng(seed)
+    mel = jnp.asarray(rng.standard_normal((b, n, ARCH.mel_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (b, nt)), jnp.int32)
+    lens = jnp.asarray([n] * b, jnp.int32)
+    return mel, text, lens
+
+
+def test_train_step_reduces_loss():
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    tx = make_optimizer(1e-3, warmup_updates=2, total_updates=1000)
+    state = init_train_state(params, tx)
+    step = jax.jit(make_train_step(statics, tx, CFMConfig(audio_drop_prob=0.0, cond_drop_prob=0.0),
+                                   dtype=jnp.float32, backend="xla"))
+    mel, text, lens = _synthetic_batch()
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(30):
+        state, metrics = step(state, jax.random.fold_in(key, i % 4), mel, text, lens)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 30
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+    assert all(np.isfinite(losses))
+
+
+def test_ema_update_cadence():
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    tx = make_optimizer(1e-3, 2, 100)
+    state = init_train_state(params, tx)
+    step = jax.jit(make_train_step(statics, tx, CFMConfig(), ema_update_every=2,
+                                   ema_update_after_step=0, dtype=jnp.float32, backend="xla"))
+    mel, text, lens = _synthetic_batch()
+    s1, _ = step(state, jax.random.PRNGKey(1), mel, text, lens)
+    # step 1: not an update step (1 % 2 != 0) -> ema unchanged
+    l0 = jax.tree.leaves(state.ema_params)[0]
+    l1 = jax.tree.leaves(s1.ema_params)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    s2, _ = step(s1, jax.random.PRNGKey(2), mel, text, lens)
+    l2 = [np.asarray(x) for x in jax.tree.leaves(s2.ema_params)]
+    p2 = [np.asarray(x) for x in jax.tree.leaves(s2.params)]
+    # step 2: ema updated (tracks params with decay)
+    assert any(not np.array_equal(a, np.asarray(b)) for a, b in zip(l2, jax.tree.leaves(s1.ema_params)))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from f5tts_tpu.train.checkpoint import CheckpointManager
+
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    tx = make_optimizer(1e-3, 2, 100)
+    state = init_train_state(params, tx)
+    step = jax.jit(make_train_step(statics, tx, CFMConfig(), dtype=jnp.float32, backend="xla"))
+    mel, text, lens = _synthetic_batch()
+    state, _ = step(state, jax.random.PRNGKey(1), mel, text, lens)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), keep_last_n=2)
+    mgr.save(state, wait=True)
+    assert mgr.latest_step() == 1
+
+    fresh = init_train_state(params, tx)
+    restored = mgr.restore(fresh)
+    assert restored is not None
+    assert int(restored.step) == 1
+    a = jax.tree.leaves(state.params)[3]
+    b = jax.tree.leaves(restored.params)[3]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_trainer_loop_with_synthetic_dataset(tmp_path):
+    from f5tts_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+
+    class TinyDataset:
+        def __len__(self):
+            return 8
+
+        def get_frame_len(self, i):
+            return 48 + 8 * (i % 3)
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return Sample(mel=r.standard_normal((48 + 8 * (i % 3), ARCH.mel_dim)).astype(np.float32),
+                          text="ab cd")
+
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    cfg = TrainConfig(batch_size_per_device=200, max_samples=4, epochs=6,
+                      learning_rate=1e-3, num_warmup_updates=2,
+                      save_per_updates=100, last_per_updates=4,
+                      save_dir=str(tmp_path / "ck"), logger=None)
+    vocab = {c: i for i, c in enumerate(" abcd")}
+    tr = Trainer(params, statics, cfg, vocab_char_map=vocab, tokenizer="char",
+                 total_updates=50, dtype=jnp.float32, backend="xla")
+    metrics = tr.train(TinyDataset(), resumable_with_seed=1, max_updates=5, log_every=1)
+    assert int(tr.state.step) == 5
+    assert np.isfinite(metrics["loss"])
+
+    # resume: a fresh trainer picks up from the checkpoint
+    tr2 = Trainer(dit.init_dit(jax.random.PRNGKey(9), ARCH), statics, cfg,
+                  vocab_char_map=vocab, tokenizer="char",
+                  total_updates=50, dtype=jnp.float32, backend="xla")
+    assert tr2.maybe_resume() == 5
