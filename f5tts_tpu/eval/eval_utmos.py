@@ -1,0 +1,55 @@
+"""UTMOS (MOS prediction) scoring.
+
+Rebuild of reference src/f5_tts/eval/eval_utmos.py: runs the
+tarepan/SpeechMOS utmos22_strong predictor over generated wavs, writes
+per-utterance scores to `_utmos_results.jsonl` and prints the mean. Requires
+torch.hub access (network) — gated with a clear error offline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from f5tts_tpu.infer import audio_io
+
+
+def eval_utmos(audio_dir: str, ext: str = "wav", device: str = "cpu") -> dict:
+    try:
+        import torch
+
+        predictor = torch.hub.load("tarepan/SpeechMOS:v1.2.0", "utmos22_strong",
+                                   trust_repo=True).to(device)
+    except Exception as e:
+        raise RuntimeError(
+            "UTMOS requires torch.hub download of tarepan/SpeechMOS "
+            "(network access needed)"
+        ) from e
+
+    results = {}
+    files = list(Path(audio_dir).rglob(f"*.{ext}"))
+    for path in files:
+        wav, sr = audio_io.read_wav(str(path))
+        score = predictor(torch.from_numpy(wav)[None].to(device), sr)
+        results[str(path.stem)] = float(score.item())
+
+    mean = sum(results.values()) / max(len(results), 1)
+    out = Path(audio_dir) / "_utmos_results.jsonl"
+    with open(out, "w") as f:
+        for k, v in results.items():
+            f.write(json.dumps({"wav": k, "utmos": v}) + "\n")
+        f.write(json.dumps({"utmos": mean}) + "\n")
+    return {"utmos_mean": mean, "n": len(results)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--audio_dir", required=True)
+    p.add_argument("--ext", default="wav")
+    args = p.parse_args(argv)
+    print(eval_utmos(args.audio_dir, args.ext))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""RTF / latency benchmark harness.
+
+Rebuild of the reference benchmark surfaces:
+- offline RTF with DiT-vs-vocoder stage split, written to rtf.txt
+  (reference runtime/triton_trtllm/benchmark.py:387-468)
+- latency percentiles p50/p90/p95/p99 (reference client_grpc.py:425-447)
+
+Runs the flagship sampler at several sequence buckets and batch sizes on the
+local device; used by bench.py and directly via
+    python -m f5tts_tpu.eval.rtf_bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def percentile_stats(samples_s: list[float]) -> dict:
+    a = np.asarray(samples_s)
+    return {
+        "avg_s": float(a.mean()),
+        "p50_s": float(np.percentile(a, 50)),
+        "p90_s": float(np.percentile(a, 90)),
+        "p95_s": float(np.percentile(a, 95)),
+        "p99_s": float(np.percentile(a, 99)),
+    }
+
+
+def bench_sampler(
+    model: str = "F5TTS_v1_Base",
+    nfe: int = 16,
+    seq_frames: int = 1024,
+    prompt_frames: int = 256,
+    batch: int = 1,
+    runs: int = 5,
+    dtype=None,
+    backend: str = None,
+) -> dict:
+    from f5tts_tpu.config import PRESETS
+    from f5tts_tpu.models import cfm
+    from f5tts_tpu.models.cfm import BACKBONES
+    from f5tts_tpu.utils import make_time_grid
+    from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
+    backend = backend or ("pallas" if on_tpu else "xla")
+
+    mcfg = PRESETS[model]
+    arch = dataclasses.replace(mcfg.arch, text_num_embeds=2545)
+    bd = BACKBONES[mcfg.backbone]
+    params = bd.init(jax.random.PRNGKey(0), arch)
+    statics = bd.statics_cls(arch)
+    voc = Vocos(init_vocos(jax.random.PRNGKey(1), VocosConfig()), VocosConfig())
+
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((batch, seq_frames, 100)) * 0.1, jnp.float32)
+    text = jnp.asarray(rng.integers(1, 2545, (batch, 128)), jnp.int32)
+    lens = jnp.full((batch,), prompt_frames, jnp.int32)
+    duration = jnp.full((batch,), seq_frames, jnp.int32)
+    t_grid = make_time_grid(nfe, sway_sampling_coef=-1.0)
+
+    def sample_only(key):
+        return cfm.cfm_sample(params, statics, cond, text, lens, duration, t_grid,
+                              key=key, cfg_strength=2.0, dtype=dtype,
+                              backend=backend, backbone=bd)
+
+    def voc_only(mel):
+        return voc.decode(jnp.transpose(mel, (0, 2, 1)))
+
+    # compile
+    mel = sample_only(jax.random.PRNGKey(0))
+    mel.block_until_ready()
+    wav = voc_only(mel)
+    wav.block_until_ready()
+
+    dit_times, voc_times, total_times = [], [], []
+    for i in range(runs):
+        t0 = time.perf_counter()
+        mel = sample_only(jax.random.PRNGKey(i))
+        mel.block_until_ready()
+        t1 = time.perf_counter()
+        wav = voc_only(mel)
+        wav.block_until_ready()
+        t2 = time.perf_counter()
+        dit_times.append(t1 - t0)
+        voc_times.append(t2 - t1)
+        total_times.append(t2 - t0)
+
+    hop, sr = 256, 24000
+    audio_s = batch * (seq_frames - prompt_frames) * hop / sr
+    total = float(np.mean(total_times))
+    return {
+        "model": model, "nfe": nfe, "batch": batch, "seq_frames": seq_frames,
+        "audio_seconds_per_batch": audio_s,
+        "dit_s": float(np.mean(dit_times)),
+        "vocoder_s": float(np.mean(voc_times)),
+        "total_s": total,
+        "rtf": total / audio_s,
+        "audio_seconds_per_s": audio_s / total,
+        "latency": percentile_stats(total_times),
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="F5TTS_v1_Base")
+    p.add_argument("--nfe", type=int, default=16)
+    p.add_argument("--seq_frames", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--runs", type=int, default=5)
+    p.add_argument("--output", default="rtf.txt")
+    args = p.parse_args(argv)
+    stats = bench_sampler(args.model, args.nfe, args.seq_frames,
+                          batch=args.batch, runs=args.runs)
+    line = json.dumps(stats)
+    print(line)
+    with open(args.output, "a") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
