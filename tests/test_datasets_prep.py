@@ -1,0 +1,69 @@
+"""Dataset preparation scripts -> arrow artifacts -> load_dataset roundtrip."""
+
+import json
+import os
+
+import numpy as np
+
+from f5tts_tpu.config import MelConfig
+from f5tts_tpu.infer import audio_io
+from f5tts_tpu.train.dataset import load_dataset
+from f5tts_tpu.train.datasets.common import repetition_found, write_dataset
+from f5tts_tpu.train.datasets.prepare_csv_wavs import prepare as prepare_csv
+from f5tts_tpu.train.datasets.prepare_ljspeech import prepare as prepare_lj
+
+
+def test_repetition_found():
+    assert repetition_found("ababababababababababababab")
+    assert not repetition_found("a normal sentence without repeats")
+
+
+def _make_corpus(tmp_path, n=3):
+    sr = 24000
+    rng = np.random.default_rng(0)
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir(parents=True)
+    lines = []
+    for i in range(n):
+        path = wav_dir / f"utt{i}.wav"
+        audio_io.write_wav(str(path), (rng.standard_normal(sr) * 0.1).astype(np.float32), sr)
+        lines.append(f"wavs/utt{i}.wav|sample text number {i}")
+    (tmp_path / "metadata.csv").write_text("audio_file|text\n" + "\n".join(lines))
+    return tmp_path
+
+
+def test_prepare_csv_wavs_and_load(tmp_path):
+    corpus = _make_corpus(tmp_path / "in")
+    out = tmp_path / "data" / "mini_pinyin"
+    stats = prepare_csv(str(corpus), str(out), use_pretrained_vocab=True, workers=2)
+    assert stats["samples"] == 3
+    assert os.path.exists(out / "raw.arrow")
+    assert os.path.exists(out / "duration.json")
+    assert os.path.exists(out / "vocab.txt")
+    with open(out / "vocab.txt", encoding="utf-8") as f:
+        assert f.readline() == " \n"  # space idx 0
+
+    ds = load_dataset("mini", "pinyin", MelConfig(), data_root=str(tmp_path / "data"))
+    assert len(ds) == 3
+    assert ds.get_frame_len(0) > 0
+    sample = ds[0]
+    assert sample.mel.shape[1] == 100
+    assert "sample" in sample.text
+
+
+def test_prepare_ljspeech_format(tmp_path):
+    sr = 24000
+    rng = np.random.default_rng(0)
+    lj = tmp_path / "LJSpeech"
+    (lj / "wavs").mkdir(parents=True)
+    rows = []
+    for i in range(2):
+        audio_io.write_wav(str(lj / "wavs" / f"LJ00{i}.wav"),
+                           (rng.standard_normal(sr) * 0.1).astype(np.float32), sr)
+        rows.append(f"LJ00{i}|Raw text {i}|Normalized text {i}")
+    (lj / "metadata.csv").write_text("\n".join(rows))
+    out = tmp_path / "data" / "LJSpeech_char"
+    stats = prepare_lj(str(lj), str(out), workers=2)
+    assert stats["samples"] == 2
+    with open(out / "duration.json") as f:
+        assert len(json.load(f)["duration"]) == 2
