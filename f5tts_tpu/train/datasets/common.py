@@ -36,11 +36,13 @@ def write_dataset(
 
     durations = []
     total = 0
-    with ArrowWriter(path=os.path.join(out_dir, "raw.arrow")) as writer:
-        for s in samples:
-            writer.write(s)
-            durations.append(s["duration"])
-            total += 1
+    writer = ArrowWriter(path=os.path.join(out_dir, "raw.arrow"))
+    for s in samples:
+        writer.write(s)
+        durations.append(s["duration"])
+        total += 1
+    writer.finalize()
+    writer.close()
 
     with open(os.path.join(out_dir, "duration.json"), "w", encoding="utf-8") as f:
         json.dump({"duration": durations}, f, ensure_ascii=False)
