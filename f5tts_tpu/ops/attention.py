@@ -53,42 +53,57 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale
     k_ref/v_ref [1,1,n,d]; o_ref [1,1,bq,d].
     """
     bi = pl.program_id(0)
+    qi = pl.program_id(2)
     valid_len = len_ref[bi]
 
     n, d = k_ref.shape[2], k_ref.shape[3]
     bq = q_ref.shape[2]
 
-    q = q_ref[0, 0, :, :].astype(jnp.float32) * sm_scale
+    # Padded-tail skipping: sequences are padded up to compile buckets, so a
+    # large fraction of blocks can be dead. Fully-padded q blocks write zeros
+    # and do no compute; the k loop stops at the last live k block.
+    q_live = qi * bq < valid_len
+    num_kb_live = pl.cdiv(valid_len, block_k)
 
-    m0 = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
+    @pl.when(jnp.logical_not(q_live))
+    def _():
+        o_ref[0, 0, :, :] = jnp.zeros((bq, d), o_ref.dtype)
 
-    num_kb = n // block_k
+    @pl.when(q_live)
+    def _():
+        # keep matmul inputs in their native dtype (bf16 on the inference
+        # path) so the MXU runs at full rate; accumulate in f32 via
+        # preferred_element_type. Only softmax statistics live in f32.
+        q = q_ref[0, 0, :, :] * jnp.asarray(sm_scale, q_ref.dtype)
 
-    def body(kb, carry):
-        m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, block_k]
-        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-        s = jnp.where(col < valid_len, s, NEG_INF)
+        m0 = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
+        l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
+        acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc
+        def body(kb, carry):
+            m_prev, l_prev, acc = carry
+            k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+            v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [bq, block_k] f32
+            col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+            s = jnp.where(col < valid_len, s, NEG_INF)
 
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows (padded queries) -> 0 output
-    o_ref[0, 0, :, :] = (acc / l).astype(o_ref.dtype)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
+
+        m, l, acc = jax.lax.fori_loop(0, num_kb_live, body, (m0, l0, acc0))
+        l = jnp.where(l == 0.0, 1.0, l)  # padded query rows within a live block
+        o_ref[0, 0, :, :] = (acc / l).astype(o_ref.dtype)
 
 
 def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
@@ -128,6 +143,7 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array)
             bytes_accessed=4 * b * h * n * d * q.dtype.itemsize,
             transcendentals=b * h * n * n,
         ),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
     )(lengths.astype(jnp.int32), q, k, v)
 
 
