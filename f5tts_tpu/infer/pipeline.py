@@ -201,6 +201,74 @@ class InferencePipeline:
             wave = wave * (ref_rms / s.target_rms)
         return wave.astype(np.float32), np.asarray(gen_mel_bdt)[0]
 
+    def generate_batch(
+        self,
+        requests: list[dict],
+        seed: int = 0,
+        nfe_step: Optional[int] = None,
+        cfg_strength: Optional[float] = None,
+        sway_sampling_coef="default",
+    ) -> list[np.ndarray]:
+        """Batched multi-request generation (the serving hot path).
+
+        requests: [{"ref_wav": [n] @ target sr, "ref_text": str, "gen_text":
+        str, ...optional speed/fix_duration}]. All requests are padded to one
+        compile bucket and run through a single `cfm_sample` + batched
+        vocoder call — the TPU-side equivalent of Triton dynamic batching
+        (reference model_repo_f5_tts config.pbtxt max_batch_size/dynamic_batching).
+        """
+        s = self.sampling
+        nfe = s.nfe_steps if nfe_step is None else nfe_step
+        cfg_v = s.cfg_strength if cfg_strength is None else cfg_strength
+        sway = s.sway_sampling_coef if sway_sampling_coef == "default" else sway_sampling_coef
+
+        b = len(requests)
+        ref_mels, ref_lens, totals, texts, rms_vals = [], [], [], [], []
+        for r in requests:
+            wav = r["ref_wav"]
+            rms_v = audio_io.rms(wav)
+            if 0 < rms_v < s.target_rms:
+                wav = wav * (s.target_rms / rms_v)
+            rms_vals.append(rms_v)
+            mel = np.asarray(self.mel.frames_to_mel_bnd(jnp.asarray(wav[None])))[0]
+            ref_mels.append(mel)
+            ref_lens.append(mel.shape[0])
+            totals.append(estimate_duration_frames(
+                mel.shape[0], r["ref_text"], r["gen_text"],
+                r.get("speed") or s.speed, r.get("fix_duration"),
+                self.sr, self.hop))
+            texts.append(r["ref_text"] + r["gen_text"])
+
+        text_ids = self.tokenize(texts)
+        totals = np.asarray(cfm.compute_duration(
+            jnp.full((b,), text_ids.shape[1]), jnp.asarray(ref_lens),
+            jnp.asarray(totals), s.max_duration))
+        n_bucket = duration_bucket(int(totals.max()), self.bucket_size, s.max_duration)
+        cond = np.zeros((b, n_bucket, self.mel_cfg.n_mel_channels), np.float32)
+        for i, mel in enumerate(ref_mels):
+            t = min(mel.shape[0], n_bucket)
+            cond[i, :t] = mel[:t]
+
+        t_grid = make_time_grid(nfe, sway_sampling_coef=sway, use_epss=s.use_epss)
+        out = cfm.cfm_sample(
+            self.params, self.statics, jnp.asarray(cond), jnp.asarray(text_ids),
+            jnp.asarray(ref_lens, jnp.int32),
+            jnp.asarray(np.minimum(totals, n_bucket), jnp.int32), t_grid,
+            key=jax.random.PRNGKey(seed), cfg_strength=cfg_v,
+            dtype=self.dtype, backend=self.backend,
+        )
+        waves_all = np.asarray(self.vocoder(jnp.transpose(out, (0, 2, 1))))
+        results = []
+        for i in range(b):
+            lo = ref_lens[i] * self.hop
+            hi = min(int(totals[i]), n_bucket) * self.hop
+            hi = min(hi, waves_all.shape[1])
+            w = waves_all[i, lo:hi]
+            if 0 < rms_vals[i] < s.target_rms:
+                w = w * (rms_vals[i] / s.target_rms)
+            results.append(w.astype(np.float32))
+        return results
+
     # -- multi-chunk --------------------------------------------------------
 
     def infer(

@@ -1,0 +1,169 @@
+"""Batched TTS serving: dynamic request batching over the jitted sampler.
+
+The TPU-side equivalent of the reference's Triton deployment
+(src/f5_tts/runtime/triton_trtllm/model_repo_f5_tts/f5_tts/config.pbtxt:
+max_batch_size 4 with a 1 ms dynamic_batching queue, and the python backend's
+execute() loop, 1/model.py:176-269): requests arriving within a small window
+are padded to one compile bucket and run as a single batch through
+`InferencePipeline.generate_batch`.
+
+Front end: a stdlib HTTP server (POST /tts with JSON
+{"ref_audio_b64"| "ref_path", "ref_text", "gen_text"}) returning WAV bytes.
+The batcher is transport-agnostic — the socket streaming server can sit in
+front of it as well.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from f5tts_tpu.infer import audio_io
+from f5tts_tpu.infer.pipeline import InferencePipeline
+
+
+@dataclass
+class _Request:
+    payload: dict
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[str] = None
+
+
+class DynamicBatcher:
+    """Collect requests for up to `max_queue_delay_s`, run up to
+    `max_batch_size` of them as one padded batch."""
+
+    def __init__(self, pipeline: InferencePipeline, max_batch_size: int = 4,
+                 max_queue_delay_s: float = 0.001):
+        self.pipeline = pipeline
+        self.max_batch_size = max_batch_size
+        self.max_queue_delay_s = max_queue_delay_s
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, payload: dict, timeout: float = 120.0) -> np.ndarray:
+        req = _Request(payload)
+        self.q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("tts request timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def close(self):
+        self._stop.set()
+        self.thread.join(timeout=5)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.time() + self.max_queue_delay_s
+            while len(batch) < self.max_batch_size:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._run(batch)
+
+    def _run(self, batch: list[_Request]):
+        try:
+            waves = self.pipeline.generate_batch([r.payload for r in batch])
+            for r, w in zip(batch, waves):
+                r.result = w
+                r.done.set()
+        except Exception as e:  # propagate per-request
+            for r in batch:
+                r.error = f"{type(e).__name__}: {e}"
+                r.done.set()
+
+
+def _wav_bytes(wave: np.ndarray, sr: int) -> bytes:
+    import struct
+
+    pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16) + b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm
+
+
+def make_handler(batcher: DynamicBatcher, sr: int):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length))
+                if "ref_audio_b64" in body:
+                    raw = base64.b64decode(body["ref_audio_b64"])
+                    wav, in_sr = audio_io.read_wav(io.BytesIO(raw))
+                else:
+                    wav, in_sr = audio_io.read_wav(body["ref_path"])
+                wav = audio_io.resample(wav, in_sr, sr)
+                wave = batcher.submit({
+                    "ref_wav": wav,
+                    "ref_text": body.get("ref_text", ""),
+                    "gen_text": body["gen_text"],
+                    "speed": body.get("speed"),
+                    "fix_duration": body.get("fix_duration"),
+                })
+                out = _wav_bytes(wave, sr)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+            except Exception as e:
+                self.send_error(500, f"{type(e).__name__}: {e}")
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--model", default="F5TTS_v1_Base")
+    p.add_argument("--ckpt_file", default="")
+    p.add_argument("--vocab_file", default="")
+    p.add_argument("--max_batch_size", type=int, default=4)
+    p.add_argument("--max_queue_delay_ms", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    from f5tts_tpu.infer.api import F5TTS
+
+    tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file)
+    batcher = DynamicBatcher(tts.pipeline, args.max_batch_size,
+                             args.max_queue_delay_ms / 1000.0)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(batcher, tts.mel_cfg.target_sample_rate))
+    print(f"serving on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

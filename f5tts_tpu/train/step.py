@@ -79,6 +79,33 @@ def make_train_step(
                                cfg=cfg, dtype=dtype, backend=backend)
         return loss
 
+    def grad_step(params, key, mel, text, lens):
+        """One micro-batch: (loss, grads). Used directly for gradient
+        accumulation (reference trainer.py:63-68,364: accumulate grads over
+        `grad_accumulation_steps` micro-batches, sync/update at the boundary)."""
+        return jax.value_and_grad(loss_fn)(params, key, mel, text, lens)
+
+    def apply_step(state: TrainState, loss, grads):
+        """Apply pre-computed (averaged) grads: optimizer + EMA + counter."""
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        step = state.step + 1
+        do_update = (step % ema_update_every == 0)
+        past_warmup = step > ema_update_after_step
+
+        def ema_new(e, p):
+            decayed = e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay)
+            tracked = jnp.where(past_warmup, decayed, p.astype(e.dtype))
+            return jnp.where(do_update, tracked, e)
+
+        ema_params = jax.tree.map(ema_new, state.ema_params, params)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(step=step, params=params, opt_state=opt_state, ema_params=ema_params),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
     def train_step(state: TrainState, key, mel, text, lens):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, key, mel, text, lens)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -104,4 +131,6 @@ def make_train_step(
             {"loss": loss, "grad_norm": gnorm},
         )
 
+    train_step.grad_step = grad_step
+    train_step.apply_step = apply_step
     return train_step

@@ -72,13 +72,18 @@ class Trainer:
             train_cfg.learning_rate, warmup, total, train_cfg.max_grad_norm
         )
         self.state = init_train_state(params, self.tx)
-        self._step_fn = jax.jit(make_train_step(
+        step_impl = make_train_step(
             statics, self.tx, cfm_cfg,
             ema_decay=train_cfg.ema_decay,
             ema_update_every=train_cfg.ema_update_every,
             ema_update_after_step=train_cfg.ema_update_after_step,
             dtype=dtype, backend=backend,
-        ))
+        )
+        self._step_fn = jax.jit(step_impl)
+        # gradient accumulation path (reference trainer.py:63-68,364)
+        self._grad_fn = jax.jit(step_impl.grad_step)
+        self._apply_fn = jax.jit(step_impl.apply_step)
+        self._accum = max(train_cfg.grad_accumulation_steps, 1)
 
         self.ckpt = CheckpointManager(train_cfg.save_dir, train_cfg.keep_last_n_checkpoints)
         self.writer = None
@@ -160,6 +165,9 @@ class Trainer:
         update = start_update
         t0 = time.time()
         last_metrics: dict = {}
+        accum_grads = None
+        accum_loss = 0.0
+        accum_count = 0
         for epoch in range(start_epoch, cfg.epochs):
             sampler.set_epoch(epoch)
             for bi, batch_idx in enumerate(sampler):
@@ -179,7 +187,20 @@ class Trainer:
                     batch["mel"], text_ids, batch["mel_lengths"])
 
                 key, sub = jax.random.split(key)
-                self.state, metrics = self._step_fn(self.state, sub, mel, text_ids, lens)
+                if self._accum == 1:
+                    self.state, metrics = self._step_fn(self.state, sub, mel, text_ids, lens)
+                else:
+                    loss, grads = self._grad_fn(self.state.params, sub, mel, text_ids, lens)
+                    accum_grads = grads if accum_grads is None else jax.tree.map(
+                        jnp.add, accum_grads, grads)
+                    accum_loss = accum_loss + loss
+                    accum_count += 1
+                    if accum_count < self._accum:
+                        continue
+                    mean_grads = jax.tree.map(lambda g: g / self._accum, accum_grads)
+                    self.state, metrics = self._apply_fn(
+                        self.state, accum_loss / self._accum, mean_grads)
+                    accum_grads, accum_loss, accum_count = None, 0.0, 0
                 update = int(self.state.step)
 
                 if update % log_every == 0:

@@ -1,0 +1,92 @@
+"""Batched generation and the dynamic-batching serving layer."""
+
+import dataclasses
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5tts_tpu.config import MelConfig, ModelArch, SamplingConfig
+from f5tts_tpu.infer.pipeline import InferencePipeline
+from f5tts_tpu.infer.serve import DynamicBatcher
+from f5tts_tpu.models import dit
+from f5tts_tpu.text.vocab import load_vocab
+from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
+
+ARCH = ModelArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=100,
+                 text_num_embeds=2545, text_dim=16, conv_layers=1)
+
+
+def _pipeline():
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    voc_cfg = VocosConfig(input_channels=100, dim=32, intermediate_dim=64, num_layers=1)
+    vocoder = Vocos(init_vocos(jax.random.PRNGKey(1), voc_cfg), voc_cfg)
+    return InferencePipeline(
+        params=params, statics=statics, vocoder=vocoder.decode,
+        vocab_char_map=load_vocab("f5tts_tpu/data/vocab_emilia_pinyin.txt"),
+        mel_cfg=MelConfig(),
+        sampling=dataclasses.replace(SamplingConfig(), nfe_steps=2, max_duration=512),
+        tokenizer="pinyin", dtype=jnp.float32, backend="xla", bucket_size=128,
+    )
+
+
+def _req(seed, text="hello there"):
+    rng = np.random.default_rng(seed)
+    return {"ref_wav": (rng.standard_normal(12000) * 0.05).astype(np.float32),
+            "ref_text": "ref. ", "gen_text": text}
+
+
+def test_generate_batch_shapes():
+    pipe = _pipeline()
+    waves = pipe.generate_batch([_req(0), _req(1, "a much longer target text here")],
+                                nfe_step=2)
+    assert len(waves) == 2
+    assert all(np.isfinite(w).all() for w in waves)
+    assert len(waves[1]) > len(waves[0])  # longer text -> longer audio
+
+
+def test_dynamic_batcher_groups_requests():
+    pipe = _pipeline()
+    calls = []
+    orig = pipe.generate_batch
+
+    def spy(reqs, **kw):
+        calls.append(len(reqs))
+        return orig(reqs, **kw)
+
+    pipe.generate_batch = spy
+    batcher = DynamicBatcher(pipe, max_batch_size=4, max_queue_delay_s=0.5)
+    try:
+        results = [None] * 3
+
+        def worker(i):
+            results[i] = batcher.submit(_req(i))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r is not None and len(r) > 0 for r in results)
+        assert max(calls) > 1  # at least one call actually batched
+    finally:
+        batcher.close()
+
+
+def test_dynamic_batcher_propagates_errors():
+    pipe = _pipeline()
+
+    def boom(reqs, **kw):
+        raise ValueError("bad batch")
+
+    pipe.generate_batch = boom
+    batcher = DynamicBatcher(pipe, max_batch_size=2, max_queue_delay_s=0.01)
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="bad batch"):
+            batcher.submit(_req(0), timeout=10)
+    finally:
+        batcher.close()
