@@ -110,13 +110,15 @@ def conv1d(p: Params, x: jax.Array, groups: int = 1, dilation: int = 1,
         pad = [(total // 2, total - total // 2)]
     else:
         pad = padding
+    # no preferred_element_type: its transpose rule mismatches dtypes under
+    # value_and_grad with bf16 operands; XLA accumulates bf16 convs in f32
+    # internally anyway
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=(1,), padding=pad, rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     return y + p["b"].astype(y.dtype)
 
 
