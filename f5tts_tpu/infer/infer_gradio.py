@@ -101,6 +101,44 @@ def build_app(tts: F5TTS) -> "gr.Blocks":
             out2 = gr.Audio(label="Output")
             btn2.click(multi_tts, [gen_multi, *rows], out2)
 
+        with gr.Tab("Voice Chat"):
+            # reference infer_gradio.py:739: chat LLM (Qwen2.5-3B-Instruct)
+            # answers, the answer is spoken in the reference voice
+            gr.Markdown("Chat with an LLM; replies are spoken in your reference voice. "
+                        "Requires the chat model weights (network).")
+            chat_ref_audio = gr.Audio(label="Your voice (reference)", type="filepath")
+            chat_ref_text = gr.Textbox(label="Reference text")
+            chatbot = gr.Chatbot(type="messages")
+            chat_in = gr.Textbox(label="Message")
+            chat_audio = gr.Audio(label="Spoken reply")
+            chat_state = {"model": None, "tokenizer": None}
+
+            def chat_reply(history, message, ref_audio_path, ref_text):
+                if chat_state["model"] is None:
+                    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+                    name = "Qwen/Qwen2.5-3B-Instruct"
+                    chat_state["tokenizer"] = AutoTokenizer.from_pretrained(name)
+                    chat_state["model"] = AutoModelForCausalLM.from_pretrained(name)
+                tok, model = chat_state["tokenizer"], chat_state["model"]
+                msgs = [{"role": "system",
+                         "content": "You are a concise, friendly voice assistant."}]
+                msgs += history + [{"role": "user", "content": message}]
+                ids = tok.apply_chat_template(msgs, add_generation_prompt=True,
+                                              return_tensors="pt")
+                out_ids = model.generate(ids, max_new_tokens=256, do_sample=True,
+                                         temperature=0.7)
+                reply = tok.decode(out_ids[0][ids.shape[1]:], skip_special_tokens=True)
+                history = history + [{"role": "user", "content": message},
+                                     {"role": "assistant", "content": reply}]
+                wav, sr = _load_ref(ref_audio_path)
+                spoken, out_sr, _ = tts.pipeline.infer(wav, sr, ref_text or "", reply)
+                return history, "", (out_sr, spoken)
+
+            chat_in.submit(chat_reply,
+                           [chatbot, chat_in, chat_ref_audio, chat_ref_text],
+                           [chatbot, chat_in, chat_audio])
+
     return app
 
 
