@@ -18,6 +18,7 @@ Behavioral parity targets:
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +50,7 @@ def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     return jnp.transpose(patches, (0, 2, 1))
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "center"))
+@partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "center", "use_matmul_dft"))
 def stft_magnitude(
     x: jax.Array,
     window: jax.Array,
@@ -57,18 +58,24 @@ def stft_magnitude(
     hop: int = 256,
     win_length: int = 1024,
     center: bool = True,
+    use_matmul_dft: Optional[bool] = None,
 ) -> jax.Array:
     """Magnitude STFT of [b, l] -> [b, n_fft//2+1, t].
 
     center=True: reflect-pad n_fft//2 both sides (torch.stft center semantics).
+    On TPU the rDFT runs as a matmul (MXU); elsewhere jnp.fft.rfft.
     """
     assert win_length == n_fft, "win_length < n_fft padding not implemented"
+    if use_matmul_dft is None:
+        use_matmul_dft = jax.default_backend() == "tpu"
     if center:
         x = _reflect_pad_1d(x, n_fft // 2)
     frames = frame_signal(x, n_fft, hop)  # [b, t, n_fft]
     frames = frames * window[None, None, :]
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=n_fft, axis=-1)
-    mag = jnp.abs(spec)
+    if use_matmul_dft:
+        mag = rdft_magnitude(frames, n_fft)
+    else:
+        mag = jnp.abs(jnp.fft.rfft(frames.astype(jnp.float32), n=n_fft, axis=-1))
     return jnp.transpose(mag, (0, 2, 1))
 
 
@@ -87,9 +94,66 @@ def stft_magnitude_eps(
     x = _reflect_pad_1d(x, pad)
     frames = frame_signal(x, n_fft, hop)
     frames = frames * window[None, None, :]
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=n_fft, axis=-1)
-    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + eps)
+    if jax.default_backend() == "tpu":
+        cos_m, sin_m = _rdft_matrices(n_fft)
+        f32 = frames.astype(jnp.float32)
+        re, im = f32 @ cos_m, f32 @ sin_m
+        mag = jnp.sqrt(re * re + im * im + eps)
+    else:
+        spec = jnp.fft.rfft(frames.astype(jnp.float32), n=n_fft, axis=-1)
+        mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + eps)
     return jnp.transpose(mag, (0, 2, 1))
+
+
+# ---------------------------------------------------------------------------
+# DFT as matmul (MXU path — XLA TPU FFT is emulated; a 1024-point rDFT is a
+# [*, 1024] @ [1024, 513] matmul, exactly the reference's TensorRT conv-STFT
+# formulation, conv_stft.py:101-144)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _rdft_matrices(n_fft: int):
+    """(cos [n_fft, F], sin [n_fft, F]) with F = n_fft//2+1 for forward rDFT."""
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(-np.sin(ang), jnp.float32))
+
+
+@_functools.lru_cache(maxsize=8)
+def _irdft_matrices(n_fft: int):
+    """(Cr [F, n_fft], Ci [F, n_fft]): time = Re @ Cr + Im @ Ci (exact irfft)."""
+    f = n_fft // 2 + 1
+    k = np.arange(f)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft
+    scale = np.full((f, 1), 2.0 / n_fft)
+    scale[0] = 1.0 / n_fft
+    scale[-1] = 1.0 / n_fft
+    cr = np.cos(ang) * scale
+    ci = -np.sin(ang) * scale
+    ci[0] = 0.0
+    ci[-1] = 0.0
+    return jnp.asarray(cr, jnp.float32), jnp.asarray(ci, jnp.float32)
+
+
+def rdft_magnitude(frames: jax.Array, n_fft: int) -> jax.Array:
+    """[..., n_fft] windowed frames -> [..., n_fft//2+1] |rDFT| via matmul."""
+    cos_m, sin_m = _rdft_matrices(n_fft)
+    f32 = frames.astype(jnp.float32)
+    re = f32 @ cos_m
+    im = f32 @ sin_m
+    return jnp.sqrt(re * re + im * im + 1e-12)
+
+
+def irdft_frames(real: jax.Array, imag: jax.Array, n_fft: int) -> jax.Array:
+    """[..., F] complex halves -> [..., n_fft] time frames via matmul."""
+    cr, ci = _irdft_matrices(n_fft)
+    return real.astype(jnp.float32) @ cr + imag.astype(jnp.float32) @ ci
 
 
 def overlap_add(frames: jax.Array, hop: int) -> jax.Array:
@@ -110,25 +174,35 @@ def overlap_add(frames: jax.Array, hop: int) -> jax.Array:
     return out
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop"))
+@partial(jax.jit, static_argnames=("n_fft", "hop", "use_matmul_dft"))
 def istft_center(
     real: jax.Array,
     imag: jax.Array,
     window: jax.Array,
     n_fft: int = 1024,
     hop: int = 256,
+    use_matmul_dft: Optional[bool] = None,
 ) -> jax.Array:
     """Inverse STFT with center=True trimming (torch.istft semantics).
 
     real/imag: [b, n_fft//2+1, t] -> wav [b, t*hop] (center-trimmed, then the
     reference conv-stft pipeline's effective output length for hop-aligned t).
 
+    On TPU the inverse rDFT runs as a matmul on the MXU (XLA FFT is emulated
+    there); elsewhere jnp.fft.irfft.
+
     Normalizes by the squared-window overlap envelope; envelope positions below
     1e-11 are left unnormalized (torch uses the same guard).
     """
-    spec = jax.lax.complex(real.astype(jnp.float32), imag.astype(jnp.float32))
-    spec = jnp.transpose(spec, (0, 2, 1))  # [b, t, f]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [b, t, n_fft]
+    if use_matmul_dft is None:
+        use_matmul_dft = jax.default_backend() == "tpu"
+    if use_matmul_dft:
+        frames = irdft_frames(jnp.transpose(real, (0, 2, 1)),
+                              jnp.transpose(imag, (0, 2, 1)), n_fft)
+    else:
+        spec = jax.lax.complex(real.astype(jnp.float32), imag.astype(jnp.float32))
+        spec = jnp.transpose(spec, (0, 2, 1))  # [b, t, f]
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [b, t, n_fft]
     frames = frames * window[None, None, :]
     wav = overlap_add(frames, hop)  # [b, (t-1)*hop + n_fft]
 
