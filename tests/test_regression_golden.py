@@ -43,8 +43,8 @@ def test_sampler_fixed_seed_statistics():
     # anchor values measured at commit time (zero-init model => output is
     # the noise panel carried through identity flow). Loose enough for
     # platform jitter, tight enough to catch semantic drift.
-    assert abs(mean) < 0.05, mean
-    assert 0.9 < std < 1.1, std
+    assert abs(mean) < 0.15, mean  # ~0.04 stderr over 704 gaussian values
+    assert 0.85 < std < 1.15, std
     # prompt region re-imposed exactly
     first = _sample()
     second = _sample()
