@@ -46,11 +46,13 @@ def mha_reference(
 # Pallas flash attention (non-causal, varlen via in-kernel length masking)
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float):
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
+                  block_k: int, sm_scale: float):
     """One (batch, head, q-block) program: online softmax over k blocks.
 
     Refs: len_ref SMEM [b] (scalar-prefetch); q_ref [1,1,bq,d];
-    k_ref/v_ref [1,1,n,d]; o_ref [1,1,bq,d].
+    k_ref/v_ref [1,1,n,d]; o_ref [1,1,bq,d]; optional lse_ref [1,1,bq]
+    (log-sum-exp of scaled scores per query row, saved for the backward).
     """
     bi = pl.program_id(0)
     qi = pl.program_id(2)
@@ -68,6 +70,8 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale
     @pl.when(jnp.logical_not(q_live))
     def _():
         o_ref[0, 0, :, :] = jnp.zeros((bq, d), o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0, 0, :] = jnp.full((bq,), NEG_INF, lse_ref.dtype)
 
     @pl.when(q_live)
     def _():
@@ -102,8 +106,11 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale
             return m_new, l_new, acc
 
         m, l, acc = jax.lax.fori_loop(0, num_kb_live, body, (m0, l0, acc0))
-        l = jnp.where(l == 0.0, 1.0, l)  # padded query rows within a live block
-        o_ref[0, 0, :, :] = (acc / l).astype(o_ref.dtype)
+        l_safe = jnp.where(l == 0.0, 1.0, l)  # padded query rows within a live block
+        o_ref[0, 0, :, :] = (acc / l_safe).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = jnp.where(l > 0.0, m + jnp.log(l_safe), NEG_INF)
+            lse_ref[0, 0, :] = lse[:, 0].astype(lse_ref.dtype)
 
 
 def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
@@ -113,7 +120,8 @@ def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
     return n
 
 
-def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array) -> jax.Array:
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array,
+                   return_lse: bool = False):
     b, h, n, d = q.shape
     block_q = _pick_block(n, (256, 128))
     block_k = _pick_block(n, (512, 256, 128))
@@ -121,6 +129,15 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array)
 
     grid = (b, h, n // block_q)
     kernel = functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale)
+    if not return_lse:
+        kernel = functools.partial(kernel, lse_ref=None)
+
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    out_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0))
+    if return_lse:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((b, h, n), jnp.float32))
+        out_spec = (out_spec,
+                    pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, lens: (bi, hi, qi)))
 
     return pl.pallas_call(
         kernel,
@@ -132,9 +149,9 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array)
                 pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)),
                 pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
+            out_specs=out_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
@@ -147,23 +164,184 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array)
     )(lengths.astype(jnp.int32), q, k, v)
 
 
+# ---------------------------------------------------------------------------
+# Pallas backward kernels (O(n) memory; standard two-pass flash backward)
+# ---------------------------------------------------------------------------
+
+def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, block_k: int, sm_scale: float):
+    """dQ for one q block: dQ = scale * sum_kb [p o (dp - delta)] @ K_kb."""
+    bi = pl.program_id(0)
+    qi = pl.program_id(2)
+    valid_len = len_ref[bi]
+
+    n, d = k_ref.shape[2], k_ref.shape[3]
+    bq = q_ref.shape[2]
+    q_live = qi * bq < valid_len
+
+    @pl.when(jnp.logical_not(q_live))
+    def _():
+        dq_ref[0, 0, :, :] = jnp.zeros((bq, d), dq_ref.dtype)
+
+    @pl.when(q_live)
+    def _():
+        q = q_ref[0, 0, :, :]
+        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        lse = lse_ref[0, 0, :].astype(jnp.float32)[:, None]
+        delta = delta_ref[0, 0, :].astype(jnp.float32)[:, None]
+        row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        row_live = row < valid_len
+
+        num_kb_live = pl.cdiv(valid_len, block_k)
+
+        def body(kb, acc):
+            k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+            v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+            s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * sm_scale
+            col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+            p = jnp.where((col < valid_len) & row_live, jnp.exp(s - lse), 0.0)
+            dp = jax.lax.dot_general(do, v_blk.astype(jnp.float32),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            return acc + jax.lax.dot_general(
+                ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(0, num_kb_live, body, jnp.zeros((bq, d), jnp.float32))
+        dq_ref[0, 0, :, :] = (acc * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, block_q: int, sm_scale: float):
+    """dK/dV for one k block: loop over q blocks."""
+    bi = pl.program_id(0)
+    ki = pl.program_id(2)
+    valid_len = len_ref[bi]
+
+    n, d = q_ref.shape[2], q_ref.shape[3]
+    bk = k_ref.shape[2]
+    k_live = ki * bk < valid_len
+
+    @pl.when(jnp.logical_not(k_live))
+    def _():
+        dk_ref[0, 0, :, :] = jnp.zeros((bk, d), dk_ref.dtype)
+        dv_ref[0, 0, :, :] = jnp.zeros((bk, d), dv_ref.dtype)
+
+    @pl.when(k_live)
+    def _():
+        k_blk = k_ref[0, 0, :, :]
+        col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+
+        num_qb_live = pl.cdiv(valid_len, block_q)
+
+        # dV and dK fused: recompute p once per q block
+        def body2(qb, carry):
+            dk_acc, dv_acc = carry
+            q_blk = q_ref[0, 0, pl.ds(qb * block_q, block_q), :]
+            do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+            lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)].astype(jnp.float32)[:, None]
+            delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)].astype(jnp.float32)[:, None]
+            row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+            s = jax.lax.dot_general(q_blk, k_blk, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * sm_scale
+            p = jnp.where((row < valid_len) & (col < valid_len), jnp.exp(s - lse), 0.0)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(jnp.float32), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            v_blk = v_ref[0, 0, :, :].astype(jnp.float32)
+            dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)  # [bq, bk]
+            ds = p * (dp - delta)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, q_blk.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dk_acc, dv_acc
+
+        dk0 = jnp.zeros((bk, d), jnp.float32)
+        dv0 = jnp.zeros((bk, d), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, num_qb_live, body2, (dk0, dv0))
+        dk_ref[0, 0, :, :] = (dk * sm_scale).astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, lengths, o, lse, do):
+    b, h, n, d = q.shape
+    block_q = _pick_block(n, (256, 128))
+    block_k = _pick_block(n, (256, 128))
+    sm_scale = 1.0 / math.sqrt(d)
+    interpret = jax.default_backend() != "tpu"
+
+    # delta = rowsum(dO * O) (f32)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [b,h,n]
+
+    lens32 = lengths.astype(jnp.int32)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, lens: (bi, hi, qi)),
+                pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, lens: (bi, hi, qi)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(lens32, q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, n // block_k),
+            in_specs=[
+                pl.BlockSpec((1, 1, n, d), lambda bi, hi, ki, lens: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, n, d), lambda bi, hi, ki, lens: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, n), lambda bi, hi, ki, lens: (bi, hi, 0)),
+                pl.BlockSpec((1, 1, n), lambda bi, hi, ki, lens: (bi, hi, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
+            ),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(lens32, q, k, v, do, lse, delta)
+
+    return dq, dk, dv
+
+
 @jax.custom_vjp
 def flash_attention(q, k, v, lengths):
     return _flash_forward(q, k, v, lengths)
 
 
 def _flash_fwd(q, k, v, lengths):
-    return _flash_forward(q, k, v, lengths), (q, k, v, lengths)
+    o, lse = _flash_forward(q, k, v, lengths, return_lse=True)
+    return o, (q, k, v, lengths, o, lse)
 
 
 def _flash_bwd(res, g):
-    # Backward recomputes attention via the XLA reference path. O(n^2) memory
-    # for the score matrix, but gradients only flow at training time where the
-    # frame budget already bounds n; a fused Pallas backward is a later
-    # optimization.
-    q, k, v, lengths = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_, lengths), q, k, v)
-    dq, dk, dv = vjp(g)
+    # Pallas two-pass flash backward: O(n) memory, p recomputed from the saved
+    # per-row log-sum-exp.
+    q, k, v, lengths, o, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, lengths, o, lse, g)
     return dq, dk, dv, None
 
 

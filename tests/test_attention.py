@@ -53,3 +53,37 @@ def test_flash_gradient_flows():
     np.testing.assert_allclose(np.asarray(gq[0]), np.asarray(rq[0]), atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gq[1, :, :100]), np.asarray(rq[1, :, :100]),
                                atol=1e-4, rtol=1e-3)
+    # dk/dv: batch row 0 is fully valid -> its cotangent flow matches exactly;
+    # row 1's padded-query ref rows contribute garbage in the ref, so compare
+    # only row 0 for k/v
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(rk[0]), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gv[0]), np.asarray(rv[0]), atol=1e-4, rtol=1e-3)
+
+
+def test_flash_bwd_dkv_varlen_row():
+    """k/v grads for a masked row: compare against a per-row dense reference
+    truncated to the valid length (exact semantics, no padded-row garbage)."""
+    rng = np.random.default_rng(3)
+    n, ln = 256, 180
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 2, n, 64)), jnp.float32)
+               for _ in range(3))
+    lengths = jnp.asarray([ln], jnp.int32)
+
+    def loss(q, k, v):
+        out = flash_attention(q, k, v, lengths)
+        return jnp.sum(out[:, :, :ln] ** 2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    qt, kt, vt = q[:, :, :ln], k[:, :, :ln], v[:, :, :ln]
+
+    def loss_t(qt, kt, vt):
+        return jnp.sum(mha_reference(qt, kt, vt) ** 2)
+
+    rq, rk, rv = jax.grad(loss_t, argnums=(0, 1, 2))(qt, kt, vt)
+    np.testing.assert_allclose(np.asarray(gq[:, :, :ln]), np.asarray(rq), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk[:, :, :ln]), np.asarray(rk), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gv[:, :, :ln]), np.asarray(rv), atol=1e-4, rtol=1e-3)
+    # grads for padded kv positions are zero
+    np.testing.assert_allclose(np.asarray(gk[:, :, ln:]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv[:, :, ln:]), 0.0, atol=1e-6)
