@@ -122,6 +122,31 @@ def conv1d(p: Params, x: jax.Array, groups: int = 1, dilation: int = 1,
     return y + p["b"].astype(y.dtype)
 
 
+def depthwise_conv1d(p: Params, x: jax.Array, dilation: int = 1,
+                     padding: int | None = None) -> jax.Array:
+    """Depthwise conv (groups == channels) as k shifted multiply-adds.
+
+    Grouped/depthwise convs lower poorly on TPU; for small k this is k
+    elementwise FMAs the VPU eats directly. x: [b, n, c]; kernel (k, 1, c).
+    Matches conv1d(..., groups=c) exactly.
+    """
+    kern = p["w"][:, 0, :]  # [k, c]
+    k = kern.shape[0]
+    total = dilation * (k - 1)
+    if padding is None:
+        lead = total // 2
+    else:
+        lead = padding
+    n = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (lead, total - lead), (0, 0)))
+    y = None
+    for i in range(k):
+        seg = jax.lax.slice_in_dim(xp, i * dilation, i * dilation + n, axis=1)
+        term = seg * kern[i].astype(x.dtype)
+        y = term if y is None else y + term
+    return y + p["b"].astype(y.dtype)
+
+
 def mish(x: jax.Array) -> jax.Array:
     xf = x.astype(jnp.float32)
     return (xf * jnp.tanh(jax.nn.softplus(xf))).astype(x.dtype)
@@ -223,9 +248,8 @@ def init_convnext_v2_block(key, dim: int, intermediate_dim: int, dilation: int =
 
 def convnext_v2_block(p: Params, x: jax.Array, dilation: int = 1) -> jax.Array:
     residual = x
-    dim = x.shape[-1]
-    h = conv1d(p["dwconv"], x, groups=dim, dilation=dilation,
-               padding=(dilation * 6) // 2)
+    h = depthwise_conv1d(p["dwconv"], x, dilation=dilation,
+                         padding=(dilation * 6) // 2)
     h = layer_norm(h, p["norm_w"], p["norm_b"], eps=1e-6)
     h = linear(p["pw1"], h)
     h = gelu_exact(h)

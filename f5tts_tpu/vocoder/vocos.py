@@ -69,7 +69,7 @@ def init_vocos(key, cfg: VocosConfig = VocosConfig()) -> m.Params:
 
 def _convnext_v1_block(p: m.Params, x: jax.Array) -> jax.Array:
     residual = x
-    h = m.conv1d(p["dwconv"], x, groups=x.shape[-1], padding=3)
+    h = m.depthwise_conv1d(p["dwconv"], x, padding=3)
     h = m.layer_norm(h, p["norm_w"], p["norm_b"], eps=1e-6)
     h = m.linear(p["pw1"], h)
     h = m.gelu_exact(h)
