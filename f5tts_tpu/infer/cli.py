@@ -116,13 +116,16 @@ def main(argv=None) -> int:
                        "ref_text": config.get("ref_text", "")}}
     voices.update(config.get("voices", {}))
 
-    # preprocess each voice's reference audio (silence clip + trim)
+    # preprocess each voice's reference audio (silence clip + trim + optional
+    # auto-transcription when ref_text is empty; reference infer_cli.py:317-319)
+    from f5tts_tpu.infer.asr import preprocess_ref_audio_text
+
     prepared = {}
     for name, v in voices.items():
-        wav, sr = audio_io.read_wav(v["ref_audio"])
-        wav = audio_io.clip_ref_audio(wav, sr)
+        wav, sr, ref_text = preprocess_ref_audio_text(
+            v["ref_audio"], v.get("ref_text", ""))
         prepared[name] = {"wav": wav, "sr": sr,
-                          "ref_text": v.get("ref_text", ""),
+                          "ref_text": ref_text,
                           "speed": v.get("speed")}
 
     segments = []

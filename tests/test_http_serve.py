@@ -1,0 +1,60 @@
+"""HTTP serving end-to-end: server handler + latency-sweep client."""
+
+import dataclasses
+import socket
+import threading
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5tts_tpu.config import MelConfig, ModelArch, SamplingConfig
+from f5tts_tpu.infer import audio_io
+from f5tts_tpu.infer.client_http import run_sweep
+from f5tts_tpu.infer.pipeline import InferencePipeline
+from f5tts_tpu.infer.serve import DynamicBatcher, make_handler
+from f5tts_tpu.models import dit
+from f5tts_tpu.text.vocab import load_vocab
+from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
+
+ARCH = ModelArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=100,
+                 text_num_embeds=2545, text_dim=16, conv_layers=1)
+
+
+def _pipeline():
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    voc_cfg = VocosConfig(input_channels=100, dim=32, intermediate_dim=64, num_layers=1)
+    vocoder = Vocos(init_vocos(jax.random.PRNGKey(1), voc_cfg), voc_cfg)
+    return InferencePipeline(
+        params=params, statics=statics, vocoder=vocoder.decode,
+        vocab_char_map=load_vocab("f5tts_tpu/data/vocab_emilia_pinyin.txt"),
+        mel_cfg=MelConfig(),
+        sampling=dataclasses.replace(SamplingConfig(), nfe_steps=2, max_duration=512),
+        tokenizer="pinyin", dtype=jnp.float32, backend="xla", bucket_size=128,
+    )
+
+
+def test_http_server_roundtrip(tmp_path):
+    pipe = _pipeline()
+    rng = np.random.default_rng(0)
+    ref = str(tmp_path / "ref.wav")
+    audio_io.write_wav(ref, (rng.standard_normal(12000) * 0.05).astype(np.float32), 24000)
+
+    batcher = DynamicBatcher(pipe, max_batch_size=2, max_queue_delay_s=0.05)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher, 24000))
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        stats = run_sweep(f"http://127.0.0.1:{port}",
+                          {"ref_path": ref, "ref_text": "ref.", "gen_text": "hello world"},
+                          n=3, concurrency=2)
+        assert stats["errors"] == 0
+        assert stats["requests"] == 3
+        assert stats["audio_seconds"] > 0.5
+        assert stats["latency_p99_s"] >= stats["latency_p50_s"]
+    finally:
+        server.shutdown()
+        batcher.close()
