@@ -70,9 +70,13 @@ def make_train_step(
     ema_update_every: int = 10,
     ema_update_after_step: int = 100,
     dtype=jnp.bfloat16,
-    backend: str = "xla",
+    backend: str = "pallas",
 ):
-    """Returns a jittable fn(state, key, mel, text, lens) -> (state, metrics)."""
+    """Returns a jittable fn(state, key, mel, text, lens) -> (state, metrics).
+
+    backend="pallas" engages the flash-attention forward+backward kernels on
+    TPU (O(n) attention memory); off-TPU it falls back to the XLA path
+    automatically (ops.attention.attention dispatch)."""
 
     def loss_fn(params, key, mel, text, lens):
         loss, _ = cfm.cfm_loss(params, statics, key, mel, text, lens,
