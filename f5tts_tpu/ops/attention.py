@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LSE_LANES = 8  # trailing lane axis for per-row stats (TPU block-tiling rule)
 
 
 def mha_reference(
@@ -71,7 +72,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
     def _():
         o_ref[0, 0, :, :] = jnp.zeros((bq, d), o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0, 0, :] = jnp.full((bq,), NEG_INF, lse_ref.dtype)
+            lse_ref[0, 0, :, :] = jnp.full(lse_ref.shape[2:], NEG_INF, lse_ref.dtype)
 
     @pl.when(q_live)
     def _():
@@ -109,8 +110,9 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
         l_safe = jnp.where(l == 0.0, 1.0, l)  # padded query rows within a live block
         o_ref[0, 0, :, :] = (acc / l_safe).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse = jnp.where(l > 0.0, m + jnp.log(l_safe), NEG_INF)
-            lse_ref[0, 0, :] = lse[:, 0].astype(lse_ref.dtype)
+            lse = jnp.where(l > 0.0, m + jnp.log(l_safe), NEG_INF)  # [bq, 1]
+            lse_ref[0, 0, :, :] = jnp.broadcast_to(
+                lse, lse_ref.shape[2:]).astype(lse_ref.dtype)
 
 
 def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
@@ -132,12 +134,17 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array,
     if not return_lse:
         kernel = functools.partial(kernel, lse_ref=None)
 
+    # LSE rides as [b, h, n, LSE_LANES]: TPU block tiling requires the last
+    # two block dims be (8k, 128k) or equal to the array dims; a trailing
+    # lane axis of 8 satisfies that at 8x storage (4 MB at b=8 n=1024).
     out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
     out_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0))
     if return_lse:
-        out_shape = (out_shape, jax.ShapeDtypeStruct((b, h, n), jnp.float32))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, h, n, LSE_LANES), jnp.float32))
         out_spec = (out_spec,
-                    pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, lens: (bi, hi, qi)))
+                    pl.BlockSpec((1, 1, block_q, LSE_LANES),
+                                 lambda bi, hi, qi, lens: (bi, hi, qi, 0)))
 
     return pl.pallas_call(
         kernel,
@@ -187,8 +194,8 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_re
     def _():
         q = q_ref[0, 0, :, :]
         do = do_ref[0, 0, :, :].astype(jnp.float32)
-        lse = lse_ref[0, 0, :].astype(jnp.float32)[:, None]
-        delta = delta_ref[0, 0, :].astype(jnp.float32)[:, None]
+        lse = lse_ref[0, 0, :, 0:1].astype(jnp.float32)
+        delta = delta_ref[0, 0, :, 0:1].astype(jnp.float32)
         row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
         row_live = row < valid_len
 
@@ -241,8 +248,8 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
             dk_acc, dv_acc = carry
             q_blk = q_ref[0, 0, pl.ds(qb * block_q, block_q), :]
             do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-            lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)].astype(jnp.float32)[:, None]
-            delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)].astype(jnp.float32)[:, None]
+            lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q), 0:1].astype(jnp.float32)
+            delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q), 0:1].astype(jnp.float32)
             row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
             s = jax.lax.dot_general(q_blk, k_blk, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * sm_scale
@@ -273,8 +280,9 @@ def _flash_backward(q, k, v, lengths, o, lse, do):
     sm_scale = 1.0 / math.sqrt(d)
     interpret = jax.default_backend() != "tpu"
 
-    # delta = rowsum(dO * O) (f32)
+    # delta = rowsum(dO * O) (f32), broadcast over the trailing lane axis
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [b,h,n]
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
 
     lens32 = lengths.astype(jnp.int32)
 
@@ -288,8 +296,8 @@ def _flash_backward(q, k, v, lengths, o, lse, do):
                 pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)),
                 pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)),
                 pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, lens: (bi, hi, qi)),
-                pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, lens: (bi, hi, qi)),
+                pl.BlockSpec((1, 1, block_q, LSE_LANES), lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, LSE_LANES), lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
         ),
@@ -309,8 +317,8 @@ def _flash_backward(q, k, v, lengths, o, lse, do):
                 pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
                 pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
                 pl.BlockSpec((1, 1, n, d), lambda bi, hi, ki, lens: (bi, hi, 0, 0)),
-                pl.BlockSpec((1, 1, n), lambda bi, hi, ki, lens: (bi, hi, 0)),
-                pl.BlockSpec((1, 1, n), lambda bi, hi, ki, lens: (bi, hi, 0)),
+                pl.BlockSpec((1, 1, n, LSE_LANES), lambda bi, hi, ki, lens: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, n, LSE_LANES), lambda bi, hi, ki, lens: (bi, hi, 0, 0)),
             ],
             out_specs=(
                 pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
