@@ -281,6 +281,42 @@ def cfm_sample(
     return out
 
 
+def duplicate_test_start(
+    key: jax.Array,
+    gt_mel: jax.Array,        # [b, n_gt, d] ground-truth mel to restart from
+    seq_len: int,             # padded bucket length
+    cond_seq_len: int,        # prompt length (frames)
+    duration: jax.Array,      # [b]
+    steps: int,
+    t_inter: float = 0.1,
+    sway_sampling_coef: float | None = None,
+) -> tuple[jax.Array, jax.Array, int]:
+    """Mid-trajectory restart diagnostic (reference cfm.py:141-143,205-209):
+    `duplicate_test` blends the ground truth (shifted past the prompt) into
+    the initial noise at t=t_inter and integrates the remaining steps.
+
+    Returns (y0, t_grid, remaining_steps) to pass into `cfm_sample` as
+    (y0=..., t_grid=...).
+    """
+    b, n_gt, d = gt_mel.shape
+    # test_cond: gt mel shifted to start right after the prompt (ref :143)
+    test_cond = jnp.zeros((b, seq_len, d), gt_mel.dtype)
+    take = min(n_gt, seq_len - cond_seq_len)
+    test_cond = jax.lax.dynamic_update_slice(
+        test_cond, gt_mel[:, :take, :], (0, cond_seq_len, 0))
+
+    y0 = make_noise(key, b, seq_len, d, duration, shared=True)
+    y0 = (1.0 - t_inter) * y0 + t_inter * test_cond
+
+    remaining = max(int(steps * (1.0 - t_inter)), 1)
+    t = jnp.linspace(t_inter, 1.0, remaining + 1, dtype=jnp.float32)
+    if sway_sampling_coef is not None:
+        from f5tts_tpu.utils import sway_timesteps
+
+        t = sway_timesteps(t, sway_sampling_coef)
+    return y0, t, remaining
+
+
 def compute_duration(
     text_lens: jax.Array, prompt_lens: jax.Array, requested: jax.Array, max_duration: int
 ) -> jax.Array:

@@ -141,3 +141,24 @@ def test_compute_duration():
         jnp.asarray([10, 50]), jnp.asarray([20, 20]), jnp.asarray([15, 100]), 64
     )
     np.testing.assert_array_equal(np.asarray(d), [21, 64])
+
+
+def test_duplicate_test_restart():
+    """Mid-trajectory restart: y0 blends ground truth at t_inter and the
+    grid covers [t_inter, 1]."""
+    params, statics = _model()
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.standard_normal((1, 32, 16)), jnp.float32)
+    y0, t_grid, steps = cfm.duplicate_test_start(
+        jax.random.PRNGKey(0), gt, seq_len=64, cond_seq_len=16,
+        duration=jnp.asarray([64], jnp.int32), steps=10, t_inter=0.2)
+    assert y0.shape == (1, 64, 16)
+    assert steps == 8 and t_grid.shape == (9,)
+    assert abs(float(t_grid[0]) - 0.2) < 1e-6 and abs(float(t_grid[-1]) - 1.0) < 1e-6
+
+    cond = jnp.zeros((1, 64, 16))
+    text = jnp.asarray(rng.integers(0, 30, (1, 8)), jnp.int32)
+    out = cfm.cfm_sample(params, statics, cond, text,
+                         jnp.asarray([16], jnp.int32), jnp.asarray([64], jnp.int32),
+                         t_grid, y0=y0, dtype=jnp.float32, backend="xla")
+    assert np.isfinite(np.asarray(out)).all()
