@@ -128,6 +128,20 @@ class InferencePipeline:
 
             self.params = tree_cast(self.params, self.dtype)
 
+        # sampler + vocoder fused under ONE jit: a single host dispatch per
+        # generation (the per-dispatch tunnel latency is ~2-3 ms; the
+        # reference pays a host round-trip per ODE step)
+        def _fused(params, cond, text, lens, duration, t_grid, key, cfg_strength):
+            mel = cfm.cfm_sample(
+                params, self.statics, cond, text, lens, duration, t_grid,
+                key=key, cfg_strength=cfg_strength,
+                dtype=self.dtype, backend=self.backend,
+            )
+            wav = self.vocoder(jnp.transpose(mel, (0, 2, 1)))
+            return mel, wav
+
+        self._fused_generate = jax.jit(_fused)
+
     # -- host-side text prep ------------------------------------------------
 
     def tokenize(self, texts: list[str]) -> np.ndarray:
@@ -183,19 +197,20 @@ class InferencePipeline:
 
         t_grid = make_time_grid(nfe, sway_sampling_coef=sway, use_epss=s.use_epss)
 
-        mel_out = cfm.cfm_sample(
-            self.params, self.statics,
+        mel_out, wave_full = self._fused_generate(
+            self.params,
             jnp.asarray(cond), jnp.asarray(text_ids),
             jnp.asarray([ref_frames], jnp.int32),
             jnp.asarray([total_frames], jnp.int32),
             t_grid,
-            key=jax.random.PRNGKey(seed),
-            cfg_strength=cfg_strength,
-            dtype=self.dtype, backend=self.backend,
+            jax.random.PRNGKey(seed),
+            jnp.float32(cfg_strength),
         )
-        gen_mel = mel_out[:, ref_frames:total_frames, :]        # [1, t, d]
-        gen_mel_bdt = jnp.transpose(gen_mel, (0, 2, 1))
-        wave = np.asarray(self.vocoder(gen_mel_bdt))[0]
+        gen_mel_bdt = jnp.transpose(mel_out[:, ref_frames:total_frames, :], (0, 2, 1))
+        wave_full = np.asarray(wave_full)
+        lo = ref_frames * self.hop
+        hi = min(total_frames * self.hop, wave_full.shape[1])
+        wave = wave_full[0, lo:hi]
 
         if ref_rms < s.target_rms and ref_rms > 0:
             wave = wave * (ref_rms / s.target_rms)
