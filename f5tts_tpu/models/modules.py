@@ -201,16 +201,30 @@ def init_conv_pos_embedding(key, dim: int, kernel: int = 31, groups: int = 16) -
 
 def conv_pos_embedding(p: Params, x: jax.Array, mask: Optional[jax.Array] = None,
                        groups: int = 16) -> jax.Array:
-    """x: [b, n, d]; mask: [b, n] bool. Re-zeroes padding after each conv."""
+    """x: [b, n, d]; mask: [b, n] bool. Re-zeroes padding after each conv.
+
+    On TPU the grouped convs run as a Pallas kernel (this op executes twice
+    per ODE step and XLA's grouped-conv lowering is ~6x off its FLOPs)."""
+    from f5tts_tpu.ops.grouped_conv import grouped_conv1d, supports_pallas_grouped_conv
+
     g = groups
+    b, n, c = x.shape
+    if supports_pallas_grouped_conv(c, g, n):
+        def conv(params_c, h):
+            return grouped_conv1d(h, params_c["w"].astype(h.dtype),
+                                  params_c["b"], g)
+    else:
+        def conv(params_c, h):
+            return conv1d(params_c, h, groups=g)
+
     if mask is not None:
         m = mask[:, :, None]
         x = jnp.where(m, x, 0.0)
-    x = conv1d(p["conv1"], x, groups=g)
+    x = conv(p["conv1"], x)
     if mask is not None:
         x = jnp.where(m, x, 0.0)
     x = mish(x)
-    x = conv1d(p["conv2"], x, groups=g)
+    x = conv(p["conv2"], x)
     if mask is not None:
         x = jnp.where(m, x, 0.0)
     x = mish(x)
