@@ -136,6 +136,7 @@ class InferencePipeline:
                 params, self.statics, cond, text, lens, duration, t_grid,
                 key=key, cfg_strength=cfg_strength,
                 dtype=self.dtype, backend=self.backend,
+                noise_max_len=self.sampling.max_duration,  # bucket-invariant noise
             )
             wav = self.vocoder(jnp.transpose(mel, (0, 2, 1)))
             return mel, wav

@@ -155,16 +155,23 @@ def cfm_loss(
 def make_noise(
     key: jax.Array, batch: int, seq_len: int, num_channels: int,
     duration: jax.Array, shared: bool = True, dtype=jnp.float32,
+    noise_max_len: Optional[int] = None,
 ) -> jax.Array:
     """Sampling noise y0. The reference reseeds per sample so every batch row
     gets an identical noise prefix (cfm.py:196-201 — batch result == single
     result); `shared=True` reproduces that by broadcasting one noise panel.
-    Positions >= duration are zeroed (pad_sequence semantics)."""
+    Positions >= duration are zeroed (pad_sequence semantics).
+
+    `noise_max_len`: generate the panel at a fixed length and slice to
+    seq_len, so the same (key, duration) yields the same audio no matter
+    which compile bucket the request landed in."""
+    gen_len = max(noise_max_len or seq_len, seq_len)
     if shared:
-        noise = jax.random.normal(key, (seq_len, num_channels), dtype=dtype)
+        noise = jax.random.normal(key, (gen_len, num_channels), dtype=dtype)[:seq_len]
         noise = jnp.broadcast_to(noise[None], (batch, seq_len, num_channels))
     else:
-        noise = jax.random.normal(key, (batch, seq_len, num_channels), dtype=dtype)
+        noise = jax.random.normal(key, (batch, gen_len, num_channels),
+                                  dtype=dtype)[:, :seq_len]
     valid = lens_to_mask(duration, seq_len)
     return jnp.where(valid[:, :, None], noise, 0.0)
 
@@ -247,6 +254,7 @@ def cfm_sample(
     no_ref_audio: bool = False,
     vocoder: Optional[Callable[[jax.Array], jax.Array]] = None,
     backbone: BackboneDef = None,
+    noise_max_len: Optional[int] = None,
 ) -> jax.Array:
     """Generate mel [b, n, d] (or waveform if `vocoder` given).
 
@@ -266,7 +274,8 @@ def cfm_sample(
 
     if y0 is None:
         assert key is not None, "need key or y0"
-        y0 = make_noise(key, b, n, d, duration, shared=True, dtype=jnp.float32)
+        y0 = make_noise(key, b, n, d, duration, shared=True, dtype=jnp.float32,
+                        noise_max_len=noise_max_len)
 
     sampled = _sample_scan(
         params, statics, y0, step_cond, text, duration,

@@ -162,3 +162,25 @@ def test_duplicate_test_restart():
                          jnp.asarray([16], jnp.int32), jnp.asarray([64], jnp.int32),
                          t_grid, y0=y0, dtype=jnp.float32, backend="xla")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sample_bucket_invariance():
+    """Padding the same request into a larger compile bucket must not change
+    the generated audio (fixed-length noise panel + masking discipline)."""
+    params, statics = _model()
+    rng = np.random.default_rng(7)
+    cond_small = np.zeros((1, 64, 16), np.float32)
+    cond_small[0, :20] = rng.standard_normal((20, 16))
+    cond_big = np.zeros((1, 96, 16), np.float32)
+    cond_big[0, :20] = cond_small[0, :20]
+    text = jnp.asarray(rng.integers(0, 30, (1, 8)), jnp.int32)
+    t_grid = make_time_grid(2, use_epss=False)
+    kw = dict(key=jax.random.PRNGKey(11), dtype=jnp.float32, backend="xla",
+              noise_max_len=128, use_mask=True)
+    out_small = np.asarray(cfm.cfm_sample(
+        params, statics, jnp.asarray(cond_small), text,
+        jnp.asarray([20], jnp.int32), jnp.asarray([60], jnp.int32), t_grid, **kw))
+    out_big = np.asarray(cfm.cfm_sample(
+        params, statics, jnp.asarray(cond_big), text,
+        jnp.asarray([20], jnp.int32), jnp.asarray([60], jnp.int32), t_grid, **kw))
+    np.testing.assert_allclose(out_small[0, :60], out_big[0, :60], atol=2e-4, rtol=1e-3)
