@@ -106,6 +106,32 @@ def _wav_bytes(wave: np.ndarray, sr: int) -> bytes:
     return hdr + pcm
 
 
+def warmup(pipeline: InferencePipeline, buckets: list[int] | None = None,
+           batch_sizes: list[int] | None = None) -> None:
+    """Pre-compile the jitted sampler for the shape buckets the server will
+    serve (first-request compiles take minutes on a cold pod; a warmup sweep
+    moves them to startup)."""
+    import time
+
+    buckets = buckets or [256, 512, 1024]
+    batch_sizes = batch_sizes or [1, 4]
+    sr = pipeline.sr
+    for frames in buckets:
+        for b in batch_sizes:
+            secs = max(frames * pipeline.hop / sr * 0.4, 0.5)
+            reqs = [{
+                "ref_wav": np.zeros(int(sr * min(secs, 2.0)), np.float32),
+                "ref_text": "warm up. ",
+                "gen_text": "w" * max(int(frames * 0.2), 8),
+            } for _ in range(b)]
+            t0 = time.time()
+            try:
+                pipeline.generate_batch(reqs)
+                print(f"warmup bucket={frames} batch={b}: {time.time()-t0:.1f}s")
+            except Exception as e:
+                print(f"warmup bucket={frames} batch={b} failed: {e}")
+
+
 def make_handler(batcher: DynamicBatcher, sr: int):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -152,11 +178,15 @@ def main(argv=None):
     p.add_argument("--vocab_file", default="")
     p.add_argument("--max_batch_size", type=int, default=4)
     p.add_argument("--max_queue_delay_ms", type=float, default=1.0)
+    p.add_argument("--warmup_buckets", type=int, nargs="*", default=[512, 1024],
+                   help="compile these duration buckets at startup")
     args = p.parse_args(argv)
 
     from f5tts_tpu.infer.api import F5TTS
 
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file)
+    if args.warmup_buckets:
+        warmup(tts.pipeline, args.warmup_buckets, [1, args.max_batch_size])
     batcher = DynamicBatcher(tts.pipeline, args.max_batch_size,
                              args.max_queue_delay_ms / 1000.0)
     server = ThreadingHTTPServer((args.host, args.port),
