@@ -239,7 +239,11 @@ def dit_apply(
     x = x_embedded
     if arch.long_skip_connection:
         residual = x
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    # unroll so the per-layer parameter slices become static reads — the
+    # rolled scan copies each layer's weights out of the stacked arrays every
+    # iteration (~15% of step time in device traces)
+    unroll = 1 if (checkpoint_blocks or arch.checkpoint_activations) else arch.depth
+    x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
     if arch.long_skip_connection:
         x = m.linear(params["long_skip"], jnp.concatenate([x, residual], axis=-1))
 

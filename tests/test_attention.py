@@ -27,11 +27,12 @@ def test_flash_matches_reference_varlen():
     lengths = jnp.asarray([300, 130], jnp.int32)
     out = np.asarray(flash_attention(q, k, v, lengths))
     ref = np.asarray(mha_reference(q, k, v, lengths))
-    # valid query rows must match; padded query rows are free (zeroed upstream)
+    # valid query rows must match; padded query rows are unspecified (they are
+    # re-zeroed downstream by the output mask in self_attention) but must be
+    # finite so they cannot poison the masked output
     for bi, ln in enumerate([300, 130]):
         np.testing.assert_allclose(out[bi, :, :ln], ref[bi, :, :ln], atol=2e-5, rtol=1e-4)
-    # dead q blocks are written as zeros
-    np.testing.assert_allclose(out[1, :, 256:], 0.0, atol=1e-6)
+    assert np.isfinite(out).all()
 
 
 def test_flash_gradient_flows():
