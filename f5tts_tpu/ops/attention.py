@@ -92,15 +92,11 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
             s = jax.lax.dot_general(
                 q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # [bq, block_k] f32
-            # masking only for the block straddling valid_len: fully-valid
-            # blocks (the common case for tight buckets) skip 3 VPU passes
-            block_full = (kb + 1) * block_k <= valid_len
-
-            def masked(s):
-                col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-                return jnp.where(col < valid_len, s, NEG_INF)
-
-            s = jax.lax.cond(block_full, lambda s: s, masked, s)
+            # NOTE: a lax.cond specialization (skip masking for fully-valid
+            # blocks) blows up Mosaic compile time inside the fori_loop —
+            # keep the unconditional select
+            col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+            s = jnp.where(col < valid_len, s, NEG_INF)
 
             m_cur = jnp.max(s, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
