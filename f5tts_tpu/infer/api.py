@@ -107,6 +107,7 @@ class F5TTS:
         gen_text: str,
         show_info=print,
         file_wave: Optional[str] = None,
+        file_spec: Optional[str] = None,
         seed: Optional[int] = None,
         **kw,
     ):
@@ -115,7 +116,14 @@ class F5TTS:
         wave, out_sr, mel = self.pipeline.infer(wav, sr, ref_text, gen_text, seed=seed, **kw)
         if file_wave:
             self.export_wav(wave, file_wave)
+        if file_spec:
+            self.export_spectrogram(mel, file_spec)
         return wave, out_sr, mel
 
     def export_wav(self, wav: np.ndarray, file_wave: str) -> None:
         audio_io.write_wav(file_wave, wav, self.mel_cfg.target_sample_rate)
+
+    def export_spectrogram(self, mel: np.ndarray, file_spec: str) -> None:
+        from f5tts_tpu.infer.viz import save_spectrogram
+
+        save_spectrogram(mel, file_spec)

@@ -58,3 +58,42 @@ def test_http_server_roundtrip(tmp_path):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_grpc_server_roundtrip(tmp_path):
+    import grpc  # noqa: F401  (skip if missing)
+
+    from f5tts_tpu.infer.grpc_server import serve, synthesize
+
+    pipe = _pipeline()
+    rng = np.random.default_rng(0)
+    ref = str(tmp_path / "ref.wav")
+    audio_io.write_wav(ref, (rng.standard_normal(12000) * 0.05).astype(np.float32), 24000)
+
+    batcher = DynamicBatcher(pipe, max_batch_size=2, max_queue_delay_s=0.01)
+    import socket as _socket
+
+    s = _socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    server = serve(batcher, 24000, "127.0.0.1", port)
+    try:
+        wav_bytes = synthesize(f"127.0.0.1:{port}", ref, "ref.", "hello world",
+                               timeout=120)
+        assert wav_bytes[:4] == b"RIFF"
+        assert len(wav_bytes) > 10000
+    finally:
+        server.stop(0)
+        batcher.close()
+
+
+def test_save_spectrogram(tmp_path):
+    from f5tts_tpu.infer.viz import save_spectrogram
+
+    mel = np.random.default_rng(0).standard_normal((100, 50)).astype(np.float32)
+    p = str(tmp_path / "spec.png")
+    save_spectrogram(mel, p)
+    import os
+
+    assert os.path.getsize(p) > 1000
