@@ -118,6 +118,51 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
                 lse, lse_ref.shape[2:]).astype(lse_ref.dtype)
 
 
+def _flash_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
+                         sm_scale: float):
+    """Single-KV-pass variant for moderate n (scores fit VMEM): one big
+    s = qK^T dot, one softmax pass, one pV dot — fewer VPU passes and larger
+    GEMMs than the online-softmax loop. Used when n <= 2048."""
+    bi = pl.program_id(0)
+    qi = pl.program_id(2)
+    valid_len = len_ref[bi]
+
+    n, d = k_ref.shape[2], k_ref.shape[3]
+    bq = q_ref.shape[2]
+    q_live = qi * bq < valid_len
+
+    @pl.when(jnp.logical_not(q_live))
+    def _():
+        o_ref[0, 0, :, :] = jnp.zeros((bq, d), o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0, 0, :, :] = jnp.full(lse_ref.shape[2:], NEG_INF, lse_ref.dtype)
+
+    @pl.when(q_live)
+    def _():
+        q = q_ref[0, 0, :, :] * jnp.asarray(sm_scale, q_ref.dtype)
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [bq, n]
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, n), 1)
+        s = jnp.where(col < valid_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        acc = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, 0, :, :] = (acc / l_safe).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = jnp.where(l > 0.0, m + jnp.log(l_safe), NEG_INF)
+            lse_ref[0, 0, :, :] = jnp.broadcast_to(
+                lse, lse_ref.shape[2:]).astype(lse_ref.dtype)
+
+
+# scores (bq x n f32) + kv must fit VMEM alongside q/o
+SINGLE_PASS_MAX_N = 2048
+
+
 def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
     for c in candidates:
         if n % c == 0:
@@ -133,7 +178,10 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array,
     sm_scale = 1.0 / math.sqrt(d)
 
     grid = (b, h, n // block_q)
-    kernel = functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale)
+    if n <= SINGLE_PASS_MAX_N:
+        kernel = functools.partial(_flash_kernel_single, sm_scale=sm_scale)
+    else:
+        kernel = functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale)
     if not return_lse:
         kernel = functools.partial(kernel, lse_ref=None)
 

@@ -88,3 +88,16 @@ def test_flash_bwd_dkv_varlen_row():
     # grads for padded kv positions are zero
     np.testing.assert_allclose(np.asarray(gk[:, :, ln:]), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gv[:, :, ln:]), 0.0, atol=1e-6)
+
+
+def test_flash_loop_variant_matches_reference(monkeypatch):
+    """Force the online-softmax loop kernel (used for n > 2048) at small n."""
+    import f5tts_tpu.ops.attention as A
+
+    monkeypatch.setattr(A, "SINGLE_PASS_MAX_N", 0)
+    q, k, v = _qkv(n=512, seed=9)
+    lengths = jnp.asarray([512, 300], jnp.int32)
+    out = np.asarray(A.flash_attention(q, k, v, lengths))
+    ref = np.asarray(A.mha_reference(q, k, v, lengths))
+    for bi, ln in enumerate([512, 300]):
+        np.testing.assert_allclose(out[bi, :, :ln], ref[bi, :, :ln], atol=2e-5, rtol=1e-4)
