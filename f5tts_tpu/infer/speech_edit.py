@@ -107,3 +107,41 @@ def edit_speech(
     if 0 < rms_v < s.target_rms:
         wave = wave * (rms_v / s.target_rms)
     return wave.astype(np.float32), pipeline.sr
+
+
+def main(argv=None):
+    """CLI mirroring the reference's speech_edit.py script usage."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="F5TTS_v1_Base")
+    p.add_argument("--ckpt_file", default="")
+    p.add_argument("--vocab_file", default="")
+    p.add_argument("--audio", required=True, help="audio to edit")
+    p.add_argument("--target_text", required=True)
+    p.add_argument("--parts", nargs="+", required=True,
+                   help="edit spans as start:end seconds, e.g. 1.42:2.44 4.04:4.9")
+    p.add_argument("--fix_durations", nargs="*", type=float, default=None,
+                   help="per-span replacement durations (seconds)")
+    p.add_argument("--nfe_step", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", default="tests/speech_edit_out.wav")
+    args = p.parse_args(argv)
+
+    from f5tts_tpu.infer.api import F5TTS
+
+    tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file)
+    wav, sr = audio_io.read_wav(args.audio)
+    parts = [tuple(map(float, s.split(":"))) for s in args.parts]
+    out, out_sr = edit_speech(tts.pipeline, wav, sr, args.target_text, parts,
+                              fix_durations=args.fix_durations,
+                              seed=args.seed, nfe_step=args.nfe_step)
+    import os
+
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    audio_io.write_wav(args.output, out, out_sr)
+    print(args.output)
+
+
+if __name__ == "__main__":
+    main()
