@@ -264,7 +264,8 @@ def mmdit_forward(
                               audio_kmask, c_kmask, context_pre_only=False)
         return (xx, cc), None
 
-    (h, c), _ = jax.lax.scan(body, (h, c), params["blocks"])
+    unroll = 1 if arch.checkpoint_activations else arch.depth - 1
+    (h, c), _ = jax.lax.scan(body, (h, c), params["blocks"], unroll=max(unroll, 1))
     h, _ = _mmdit_block(params["last_block"], h, c, t_emb, arch.heads,
                         rope_audio, rope_text, audio_kmask, c_kmask,
                         context_pre_only=True)

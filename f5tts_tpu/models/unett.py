@@ -147,7 +147,11 @@ def unett_forward(
                      arch.pe_attn_head, backend)
         return out, carry  # push pre-block state as the skip (reference pushes x)
 
-    h, skips = jax.lax.scan(first_body, h, params["first_half"])
+    # unrolled scans: rolled iteration copies each layer's weights out of the
+    # stacked arrays every step (see models/dit.py)
+    half = arch.depth // 2
+    unroll = 1 if arch.checkpoint_activations else half
+    h, skips = jax.lax.scan(first_body, h, params["first_half"], unroll=unroll)
 
     # reverse the skip stack: last pushed is popped first
     skips = jnp.flip(skips, axis=0)
@@ -159,7 +163,8 @@ def unett_forward(
                      skip=skip, skip_type=arch.skip_connect_type)
         return out, None
 
-    h, _ = jax.lax.scan(second_body, h, (params["second_half"], skips))
+    h, _ = jax.lax.scan(second_body, h, (params["second_half"], skips),
+                        unroll=unroll)
 
     h = m.rms_norm(params["norm_out"], h, eps=1e-8)[:, 1:, :]  # strip time token
     return m.linear(params["proj_out"], h).astype(jnp.float32)

@@ -86,7 +86,8 @@ def _vocos_apply(params, mel_bnd, window, n_fft, hop, dtype=jnp.float32):
     def body(carry, blk):
         return _convnext_v1_block(blk, carry), None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    num_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
+    x, _ = jax.lax.scan(body, x, params["blocks"], unroll=num_layers)
     x = m.layer_norm(x, params["final_norm_w"], params["final_norm_b"], eps=1e-6)
 
     h = m.linear(params["head"], x).astype(jnp.float32)  # [b, t, n_fft+2]
