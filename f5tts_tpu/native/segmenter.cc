@@ -12,6 +12,7 @@
 //
 // Exposed as a C ABI for ctypes (see segmenter.py). Thread-safe after init.
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -35,6 +36,28 @@ struct Dict {
 
 Dict g_dict;
 std::mutex g_mutex;
+
+// HMM (BMES) tables for OOV segmentation, jieba finalseg semantics.
+struct Hmm {
+  // state order: B=0, M=1, E=2, S=3
+  double start[4];
+  double trans[4][4];                              // log prob, MIN if illegal
+  std::unordered_map<std::string, double> emit[4]; // codepoint -> log prob
+  bool loaded = false;
+};
+
+constexpr double kMinProb = -3.14e100;
+Hmm g_hmm;
+
+int StateIdx(char c) {
+  switch (c) {
+    case 'B': return 0;
+    case 'M': return 1;
+    case 'E': return 2;
+    case 'S': return 3;
+  }
+  return -1;
+}
 
 // Decode UTF-8 into per-codepoint byte spans.
 std::vector<std::pair<int, int>> Codepoints(const char* s, int len) {
@@ -96,7 +119,95 @@ int seg_load_dict(const char* path) {
   return (int)entries.size();
 }
 
+// Load HMM tables from a TSV ("S <state> <logp>" / "T <from> <to> <logp>" /
+// "E <state> <utf8-char> <logp>"). Returns emission count, -1 on error.
+int seg_load_hmm(const char* path) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  for (int i = 0; i < 4; ++i) {
+    g_hmm.start[i] = kMinProb;
+    g_hmm.emit[i].clear();
+    for (int j = 0; j < 4; ++j) g_hmm.trans[i][j] = kMinProb;
+  }
+  char line[512];
+  int count = 0;
+  while (fgets(line, sizeof(line), f)) {
+    char a, b;
+    double p;
+    char token[64];
+    if (line[0] == 'T' && sscanf(line, "T %c %c %lf", &a, &b, &p) == 3) {
+      int i = StateIdx(a), j = StateIdx(b);
+      if (i >= 0 && j >= 0) g_hmm.trans[i][j] = p;
+    } else if (line[0] == 'S' && sscanf(line, "S %c %lf", &a, &p) == 2) {
+      int i = StateIdx(a);
+      if (i >= 0) g_hmm.start[i] = p;
+    } else if (line[0] == 'E' && sscanf(line, "E %c %63s %lf", &a, token, &p) == 3) {
+      int i = StateIdx(a);
+      if (i >= 0) {
+        g_hmm.emit[i][token] = p;
+        ++count;
+      }
+    }
+  }
+  fclose(f);
+  g_hmm.loaded = count > 0;
+  return count;
+}
+
+}  // extern "C"
+
 namespace {
+
+// Viterbi over BMES for an OOV codepoint run; emits segments via `emit_span`.
+// Legal transitions: B<-(E,S), M<-(B,M), E<-(B,M), S<-(E,S); final in {E,S}.
+template <typename EmitFn>
+bool ViterbiCut(const char* text, const std::vector<std::pair<int, int>>& cps,
+                EmitFn emit_span) {
+  int n = (int)cps.size();
+  std::vector<std::array<double, 4>> v(n);
+  std::vector<std::array<int, 4>> back(n);
+  auto emitp = [&](int s, int i) {
+    std::string ch(text + cps[i].first, cps[i].second);
+    auto it = g_hmm.emit[s].find(ch);
+    return it != g_hmm.emit[s].end() ? it->second : kMinProb;
+  };
+  for (int s = 0; s < 4; ++s) {
+    v[0][s] = g_hmm.start[s] + emitp(s, 0);
+    back[0][s] = -1;
+  }
+  for (int i = 1; i < n; ++i) {
+    for (int s = 0; s < 4; ++s) {
+      double best = -1e308;
+      int bj = 0;
+      for (int j = 0; j < 4; ++j) {
+        double cand = v[i - 1][j] + g_hmm.trans[j][s];
+        if (cand > best) { best = cand; bj = j; }
+      }
+      v[i][s] = best + emitp(s, i);
+      back[i][s] = bj;
+    }
+  }
+  int s = (v[n - 1][2] >= v[n - 1][3]) ? 2 : 3;  // end in E or S
+  std::vector<int> states(n);
+  for (int i = n - 1; i >= 0; --i) {
+    states[i] = s;
+    s = back[i][s];
+  }
+  int start = 0;
+  for (int i = 0; i < n; ++i) {
+    if (states[i] == 2 || states[i] == 3) {  // E or S closes a word
+      if (!emit_span(cps[start].first,
+                     cps[i].first + cps[i].second)) return false;
+      start = i + 1;
+    }
+  }
+  if (start < n) {
+    if (!emit_span(cps[start].first,
+                   cps[n - 1].first + cps[n - 1].second)) return false;
+  }
+  return true;
+}
 
 // jieba keeps runs of latin letters / digits / joiners as one token
 inline bool IsAlnumRun(unsigned char c) {
@@ -114,8 +225,8 @@ static int CutBlock(const char* text, const std::vector<std::pair<int, int>>& cp
 // Segment utf-8 `text`; writes '\x01'-separated segments into out (cap bytes).
 // Returns number of segments, or -1 on error/overflow. Ascii-alnum runs are
 // kept as single tokens (jieba block-splitting behavior); other text goes
-// through the dictionary DAG.
-int seg_cut(const char* text, char* out, int cap) {
+// through the dictionary DAG (+ BMES viterbi for OOV runs when loaded).
+extern "C" int seg_cut(const char* text, char* out, int cap) {
   if (!g_dict.loaded) return -1;
   int len = (int)strlen(text);
   auto all = Codepoints(text, len);
@@ -196,21 +307,51 @@ static int CutBlock(const char* text, const std::vector<std::pair<int, int>>& cp
     choice[i] = best_j;
   }
 
-  // emit segments
-  int pos = 0;
-  while (pos < n) {
-    int end = choice[pos];
-    int b0 = cps[pos].first;
-    int b1 = cps[end].first + cps[end].second;
+  // emit segments, with jieba __cut_DAG buffering: consecutive single-char
+  // pieces that don't form a dictionary word go through the HMM (BMES
+  // viterbi) for OOV word discovery
+  auto emit_bytes = [&](int b0, int b1) -> bool {
     int seg_len = b1 - b0;
-    if (*wp + seg_len + 2 > cap) return -1;
+    if (*wp + seg_len + 2 > cap) return false;
     if (*countp > 0) out[(*wp)++] = '\x01';
     memcpy(out + *wp, text + b0, seg_len);
     *wp += seg_len;
     ++(*countp);
+    return true;
+  };
+
+  std::vector<std::pair<int, int>> buf;  // buffered single-cp spans
+  auto flush = [&]() -> bool {
+    if (buf.empty()) return true;
+    bool ok = true;
+    if (buf.size() == 1) {
+      ok = emit_bytes(buf[0].first, buf[0].first + buf[0].second);
+    } else {
+      std::string word(text + buf.front().first,
+                       buf.back().first + buf.back().second - buf.front().first);
+      if (g_dict.logfreq.count(word) || !g_hmm.loaded) {
+        for (auto& cp : buf) {
+          if (!(ok = emit_bytes(cp.first, cp.first + cp.second))) break;
+        }
+      } else {
+        ok = ViterbiCut(text, buf, emit_bytes);
+      }
+    }
+    buf.clear();
+    return ok;
+  };
+
+  int pos = 0;
+  while (pos < n) {
+    int end = choice[pos];
+    if (end == pos) {
+      buf.push_back(cps[pos]);
+    } else {
+      if (!flush()) return -1;
+      if (!emit_bytes(cps[pos].first, cps[end].first + cps[end].second)) return -1;
+    }
     pos = end + 1;
   }
+  if (!flush()) return -1;
   return 0;
 }
-
-}  // extern "C"

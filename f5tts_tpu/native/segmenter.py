@@ -44,6 +44,27 @@ def _find_dict() -> str:
     raise ImportError("no segmenter dictionary found (set F5TTS_SEGMENTER_DICT)")
 
 
+def _export_hmm(path: str) -> bool:
+    """Dump jieba's finalseg BMES tables (start/transition/emission log
+    probs — data files of the installed package) to the TSV the C++ side
+    loads. Returns False when jieba isn't available."""
+    try:
+        from jieba.finalseg import prob_emit, prob_start, prob_trans
+    except ImportError:
+        return False
+    with open(path, "w", encoding="utf-8") as f:
+        for s, p in prob_start.P.items():
+            f.write(f"S {s} {p!r}\n")
+        for a, row in prob_trans.P.items():
+            for b_, p in row.items():
+                f.write(f"T {a} {b_} {p!r}\n")
+        for s, row in prob_emit.P.items():
+            for ch, p in row.items():
+                if ch.strip():
+                    f.write(f"E {s} {ch} {p!r}\n")
+    return True
+
+
 _lib = None
 
 
@@ -58,11 +79,18 @@ def _load():
     lib = ctypes.CDLL(so)
     lib.seg_load_dict.argtypes = [ctypes.c_char_p]
     lib.seg_load_dict.restype = ctypes.c_int
+    lib.seg_load_hmm.argtypes = [ctypes.c_char_p]
+    lib.seg_load_hmm.restype = ctypes.c_int
     lib.seg_cut.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
     lib.seg_cut.restype = ctypes.c_int
     n = lib.seg_load_dict(_find_dict().encode())
     if n <= 0:
         raise ImportError("native segmenter failed to load dictionary")
+    hmm_path = os.path.join(_HERE, "hmm_model.tsv")
+    if not os.path.exists(hmm_path):
+        _export_hmm(hmm_path)
+    if os.path.exists(hmm_path):
+        lib.seg_load_hmm(hmm_path.encode())  # optional: OOV viterbi
     _lib = lib
     return lib
 

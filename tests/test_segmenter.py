@@ -28,3 +28,14 @@ def test_pinyin_uses_some_segmenter():
 
     out = convert_char_to_pinyin(["hello 世界"])[0]
     assert "h" in out and " " in out
+
+
+def test_native_segmenter_matches_jieba_hmm():
+    """OOV runs go through the BMES viterbi (jieba finalseg semantics)."""
+    from f5tts_tpu.native.segmenter import cut
+
+    jieba.setLogLevel(60)
+    for text in ["他来到了网易杭研大厦",         # 杭研 is OOV -> HMM merge
+                 "小明硕士毕业于中国科学院计算所",
+                 "这是一个伸手不见五指的黑夜"]:
+        assert cut(text) == list(jieba.cut(text, HMM=True)), text
