@@ -5,13 +5,14 @@ import pytest
 jieba = pytest.importorskip("jieba")
 
 
-def test_native_segmenter_matches_jieba_nohmm():
+def test_native_segmenter_matches_jieba():
+    """Default behavior matches jieba's default (HMM enabled) cut."""
     from f5tts_tpu.native.segmenter import cut
 
     jieba.setLogLevel(60)
     for text in ["我来到北京清华大学", "这是一个分词测试", "对万人敬仰的太乙真人"]:
         ours = cut(text)
-        theirs = list(jieba.cut(text, HMM=False))
+        theirs = list(jieba.cut(text, HMM=True))
         assert ours == theirs, (text, ours, theirs)
 
 
