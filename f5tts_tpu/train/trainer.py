@@ -53,6 +53,7 @@ class Trainer:
         logger: Optional[str] = None,
         log_dir: str = "runs",
         sample_fn: Optional[Callable] = None,
+        vocoder: Optional[Callable] = None,  # mel [b,d,t] -> wav; enables log_samples
     ):
         self.cfg = train_cfg
         self.backbone = backbone
@@ -104,6 +105,8 @@ class Trainer:
             except Exception:
                 self.writer = None
         self.sample_fn = sample_fn
+        self.vocoder = vocoder
+        self._last_sample = None  # (mel [t,d], text) from the latest batch
 
     # -- helpers ------------------------------------------------------------
 
@@ -132,6 +135,47 @@ class Trainer:
         return (jax.device_put(jnp.asarray(mel), dsh),
                 jax.device_put(jnp.asarray(text_ids), dsh),
                 jax.device_put(jnp.asarray(lens), dsh))
+
+    def _log_sample(self, update: int) -> None:
+        """Per-checkpoint sample synthesis (reference trainer.py:408-438):
+        clone the first item of the latest batch with the EMA weights and
+        write ref + generated wavs under save_dir/samples."""
+        if self.vocoder is None or self._last_sample is None:
+            return
+        import os
+
+        import numpy as np
+
+        from f5tts_tpu.models import cfm as cfm_mod
+        from f5tts_tpu.utils import duration_bucket, make_time_grid
+
+        mel_ref, text = self._last_sample
+        ref_frames = mel_ref.shape[0]
+        total = min(ref_frames * 2, 4096)
+        n_bucket = duration_bucket(total, 256, 4096)
+        cond = np.zeros((1, n_bucket, mel_ref.shape[1]), np.float32)
+        cond[0, :ref_frames] = mel_ref
+        text_ids = self.tokenize([text + " " + text])
+        t_grid = make_time_grid(32, sway_sampling_coef=-1.0)
+        out = cfm_mod.cfm_sample(
+            self.state.ema_params, self.statics, jnp.asarray(cond),
+            jnp.asarray(text_ids), jnp.asarray([ref_frames], jnp.int32),
+            jnp.asarray([total], jnp.int32), t_grid,
+            key=jax.random.PRNGKey(update), cfg_strength=2.0,
+            dtype=jnp.float32, backend="xla", backbone=self.backbone,
+        )
+        sample_dir = os.path.join(self.cfg.save_dir, "samples")
+        os.makedirs(sample_dir, exist_ok=True)
+        from f5tts_tpu.infer import audio_io
+
+        gen = jnp.transpose(out[:, ref_frames:total, :], (0, 2, 1))
+        ref = jnp.transpose(jnp.asarray(mel_ref[None]), (0, 2, 1))
+        wav_gen = np.asarray(self.vocoder(gen))[0]
+        wav_ref = np.asarray(self.vocoder(ref))[0]
+        audio_io.write_wav(os.path.join(sample_dir, f"update_{update}_gen.wav"),
+                           wav_gen, 24000)
+        audio_io.write_wav(os.path.join(sample_dir, f"update_{update}_ref.wav"),
+                           wav_ref, 24000)
 
     # -- resume -------------------------------------------------------------
 
@@ -183,6 +227,10 @@ class Trainer:
                     batch = {k: (v[:keep] if not isinstance(v, list) else v[:keep])
                              for k, v in batch.items()}
                 text_ids = self.tokenize(batch["text"])
+                if self.cfg.log_samples:
+                    t0_len = int(batch["mel_lengths"][0])
+                    self._last_sample = (batch["mel"][0, :t0_len].copy(),
+                                         batch["text"][0])
                 mel, text_ids, lens = self._device_put_batch(
                     batch["mel"], text_ids, batch["mel_lengths"])
 
@@ -211,8 +259,11 @@ class Trainer:
 
                 if update % cfg.last_per_updates == 0 or update % cfg.save_per_updates == 0:
                     self.ckpt.save(self.state)
-                    if self.sample_fn is not None and update % cfg.save_per_updates == 0:
-                        self.sample_fn(self.state.ema_params, update)
+                    if update % cfg.save_per_updates == 0:
+                        if self.sample_fn is not None:
+                            self.sample_fn(self.state.ema_params, update)
+                        if cfg.log_samples:
+                            self._log_sample(update)
 
                 if max_updates is not None and update >= max_updates:
                     self.ckpt.save(self.state, wait=True)

@@ -167,3 +167,44 @@ def test_trainer_loop_with_synthetic_dataset(tmp_path):
                   vocab_char_map=vocab, tokenizer="char",
                   total_updates=50, dtype=jnp.float32, backend="xla")
     assert tr2.maybe_resume() == 5
+
+
+def test_trainer_log_samples(tmp_path):
+    """Per-checkpoint sample synthesis writes ref+gen wavs (reference
+    trainer.py:408-438)."""
+    import os
+
+    from f5tts_tpu.train.trainer import Trainer
+    from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
+
+    from f5tts_tpu.train.dataset import Sample
+
+    class TinyDataset:
+        def __len__(self):
+            return 8  # two batches form; the residual batch is dropped
+
+        def get_frame_len(self, i):
+            return 48
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return Sample(mel=r.standard_normal((48, ARCH.mel_dim)).astype(np.float32),
+                          text="ab cd")
+
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    voc_cfg = VocosConfig(input_channels=ARCH.mel_dim, dim=16, intermediate_dim=32,
+                          num_layers=1, n_fft=64, hop_length=16)
+    voc = Vocos(init_vocos(jax.random.PRNGKey(1), voc_cfg), voc_cfg)
+    cfg = TrainConfig(batch_size_per_device=200, max_samples=4, epochs=2,
+                      learning_rate=1e-3, num_warmup_updates=1,
+                      save_per_updates=1, last_per_updates=1,
+                      save_dir=str(tmp_path / "ck"), logger=None, log_samples=True)
+    vocab = {c: i for i, c in enumerate(" abcd")}
+    tr = Trainer(params, statics, cfg, vocab_char_map=vocab, tokenizer="char",
+                 total_updates=10, dtype=jnp.float32, backend="xla",
+                 vocoder=voc.decode)
+    tr.train(TinyDataset(), resumable_with_seed=1, max_updates=1, log_every=1)
+    sample_dir = tmp_path / "ck" / "samples"
+    files = os.listdir(sample_dir)
+    assert any("gen" in f for f in files) and any("ref" in f for f in files)
