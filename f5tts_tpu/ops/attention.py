@@ -173,7 +173,7 @@ def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
 def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, lengths: jax.Array,
                    return_lse: bool = False):
     b, h, n, d = q.shape
-    block_q = _pick_block(n, (512, 256, 128))
+    block_q = _pick_block(n, (256, 128))  # 256 measured fastest on v5e
     block_k = _pick_block(n, (512, 256, 128))
     sm_scale = 1.0 / math.sqrt(d)
 
