@@ -204,11 +204,22 @@ def conv_pos_embedding(p: Params, x: jax.Array, mask: Optional[jax.Array] = None
     """x: [b, n, d]; mask: [b, n] bool. Re-zeroes padding after each conv.
 
     On TPU the grouped convs run as a Pallas kernel (this op executes twice
-    per ODE step and XLA's grouped-conv lowering is ~6x off its FLOPs)."""
-    from f5tts_tpu.ops.grouped_conv import grouped_conv1d, supports_pallas_grouped_conv
+    per ODE step and XLA's grouped-conv lowering is ~6x off its FLOPs).
+    Masks here are padding masks (contiguous prefixes), so the fused kernel
+    consumes them as per-sample lengths."""
+    from f5tts_tpu.ops.grouped_conv import (
+        conv_pos_embedding_fused, grouped_conv1d,
+        supports_fused_conv_pos, supports_pallas_grouped_conv)
 
     g = groups
     b, n, c = x.shape
+    k = p["conv1"]["w"].shape[0]
+    if supports_fused_conv_pos(c, g, n, k):
+        lengths = (jnp.full((b,), n, jnp.int32) if mask is None
+                   else jnp.sum(mask, axis=-1).astype(jnp.int32))
+        return conv_pos_embedding_fused(
+            x, p["conv1"]["w"].astype(x.dtype), p["conv1"]["b"],
+            p["conv2"]["w"].astype(x.dtype), p["conv2"]["b"], lengths, g)
     if supports_pallas_grouped_conv(c, g, n):
         def conv(params_c, h):
             return grouped_conv1d(h, params_c["w"].astype(h.dtype),

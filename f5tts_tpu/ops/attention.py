@@ -247,18 +247,20 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_re
         do = do_ref[0, 0, :, :].astype(jnp.float32)
         lse = lse_ref[0, 0, :, 0:1].astype(jnp.float32)
         delta = delta_ref[0, 0, :, 0:1].astype(jnp.float32)
-        row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
-        row_live = row < valid_len
 
         num_kb_live = pl.cdiv(valid_len, block_k)
 
+        # NOTE: padded q rows inside a live block are NOT masked — the forward
+        # computes them as softmax over live keys (same as the XLA reference),
+        # so the exact VJP propagates their cotangents too. Only fully-dead q
+        # blocks (forward output constant zero) drop gradients.
         def body(kb, acc):
             k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
             v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
             s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * sm_scale
             col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-            p = jnp.where((col < valid_len) & row_live, jnp.exp(s - lse), 0.0)
+            p = jnp.where(col < valid_len, jnp.exp(s - lse), 0.0)
             dp = jax.lax.dot_general(do, v_blk.astype(jnp.float32),
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -301,10 +303,11 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
             do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
             lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q), 0:1].astype(jnp.float32)
             delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q), 0:1].astype(jnp.float32)
-            row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+            # padded q rows in a live block carry real softmax weights (see
+            # _flash_bwd_dq_kernel note); only dead q blocks are skipped.
             s = jax.lax.dot_general(q_blk, k_blk, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * sm_scale
-            p = jnp.where((row < valid_len) & (col < valid_len), jnp.exp(s - lse), 0.0)
+            p = jnp.where(col < valid_len, jnp.exp(s - lse), 0.0)
             dv_acc = dv_acc + jax.lax.dot_general(
                 p.astype(jnp.float32), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -407,15 +410,61 @@ def _flash_bwd(res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+def flash_attention_sharded(q, k, v, lengths, mesh=None,
+                            dp_axis: str = "data", tp_axis: str = "model"):
+    """Flash attention under shard_map: batch on dp_axis, heads on tp_axis.
+
+    The TP head sharding mirrors the reference's TRT-LLM ColumnLinear head
+    split (reference: runtime/triton_trtllm/patch/f5tts/modules.py:147-185);
+    attention itself needs no collectives — each device runs the Pallas
+    kernel on its local heads, and the RowLinear psum happens in the
+    projection that follows. Requires b % dp == 0 and h % tp == 0.
+    """
+    from jax.sharding import PartitionSpec as P, get_abstract_mesh
+
+    if mesh is None:
+        mesh = get_abstract_mesh()
+    sizes = dict(mesh.shape)
+    dp = dp_axis if sizes.get(dp_axis, 1) > 1 else None
+    tp = tp_axis if sizes.get(tp_axis, 1) > 1 else None
+    spec = P(dp, tp, None, None)
+    fn = jax.shard_map(flash_attention, mesh=mesh,
+                       in_specs=(spec, spec, spec, P(dp)),
+                       out_specs=spec, check_vma=False)
+    return fn(q, k, v, lengths)
+
+
+def _ambient_mesh_or_none():
+    from jax.sharding import get_abstract_mesh
+
+    mesh = get_abstract_mesh()
+    if mesh is None or mesh.empty or mesh.size <= 1:
+        return None
+    return mesh
+
+
 def attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
     lengths: jax.Array | None = None,
     backend: str = "pallas",
 ) -> jax.Array:
-    """Dispatch on backend. Pallas path needs 128-aligned n (pad upstream)."""
+    """Dispatch on backend. Pallas path needs 128-aligned n (pad upstream).
+
+    When tracing under an ambient multi-device mesh (jax.set_mesh), the
+    Pallas kernel is wrapped in shard_map (GSPMD cannot partition an opaque
+    pallas_call): batch rides the "data" axis, heads the "model" axis. Falls
+    back to the XLA path if the shapes don't divide the mesh.
+    """
     b, h, n, d = q.shape
     if backend == "pallas" and jax.default_backend() == "tpu" and n % 128 == 0:
         if lengths is None:
             lengths = jnp.full((b,), n, dtype=jnp.int32)
+        mesh = _ambient_mesh_or_none()
+        if mesh is not None:
+            sizes = dict(mesh.shape)
+            dp, tp = sizes.get("data", 1), sizes.get("model", 1)
+            if b % dp == 0 and h % tp == 0:
+                return flash_attention_sharded(q, k, v, lengths, mesh)
+            return mha_reference(q, k, v, lengths)
         return flash_attention(q, k, v, lengths)
     return mha_reference(q, k, v, lengths)

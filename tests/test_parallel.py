@@ -60,6 +60,40 @@ def test_tp_forward_matches_single_device(mesh):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
 
 
+def test_flash_attention_sharded_matches_reference(mesh):
+    from f5tts_tpu.ops.attention import flash_attention_sharded, mha_reference
+
+    b, h, n, d = 4, 8, 256, 32
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)) * 0.3, jnp.float32)
+               for _ in range(3))
+    lengths = jnp.asarray([256, 192, 128, 256], jnp.int32)
+    out = jax.jit(lambda *a: flash_attention_sharded(*a, mesh=mesh))(q, k, v, lengths)
+    ref = mha_reference(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_sharded_gradients(mesh):
+    from f5tts_tpu.ops.attention import flash_attention_sharded, mha_reference
+
+    b, h, n, d = 4, 4, 128, 32
+    rng = np.random.default_rng(4)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)) * 0.3, jnp.float32)
+               for _ in range(3))
+    lengths = jnp.asarray([128, 96, 128, 64], jnp.int32)
+
+    def loss_sh(q, k, v):
+        return jnp.sum(flash_attention_sharded(q, k, v, lengths, mesh=mesh) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, lengths) ** 2)
+
+    gs = jax.jit(jax.grad(loss_sh, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
