@@ -51,6 +51,14 @@ def main():
         from f5tts_tpu.models.modules import tree_cast
 
         params = tree_cast(params, jnp.bfloat16)
+    # optional faster-than-reference serving mode (not the headline metric)
+    import os
+
+    quant = os.environ.get("F5TTS_QUANT", "none")
+    if quant == "int8":
+        from f5tts_tpu.ops.quant import quantize_dit_params
+
+        params = quantize_dit_params(params)
     statics = dit.DiTStatics(arch)
     voc = Vocos(init_vocos(jax.random.PRNGKey(1), VocosConfig()), VocosConfig())
 
@@ -62,25 +70,30 @@ def main():
     duration = jnp.full((b,), SEQ_FRAMES, jnp.int32)
     t_grid = make_time_grid(NFE, sway_sampling_coef=-1.0, use_epss=True)
 
+    @jax.jit
     def generate(params, cond, text, lens, duration, key):
         mel = cfm.cfm_sample(
             params, statics, cond, text, lens, duration, t_grid,
             key=key, cfg_strength=2.0, dtype=dtype, backend=backend,
         )
-        return voc.decode(jnp.transpose(mel, (0, 2, 1)))
+        wav = voc.decode(jnp.transpose(mel, (0, 2, 1)))
+        # scalar checksum: fetching it forces real device completion — under
+        # the axon tunnel block_until_ready() can return before execution
+        # finishes, which once produced a bogus 83x RTF
+        return jnp.sum(wav.astype(jnp.float32))
 
     key = jax.random.PRNGKey(42)
 
-    # compile + warmup
-    wav = generate(params, cond, text, lens, duration, key)
-    wav.block_until_ready()
+    # compile + warmup (value fetch = hard sync)
+    float(generate(params, cond, text, lens, duration, key))
 
     runs = 5
     t0 = time.perf_counter()
-    for i in range(runs):
-        wav = generate(params, cond, text, lens, duration, jax.random.PRNGKey(i))
-    wav.block_until_ready()
+    vals = [generate(params, cond, text, lens, duration, jax.random.PRNGKey(i))
+            for i in range(runs)]
+    checksum = sum(float(v) for v in vals)
     elapsed = (time.perf_counter() - t0) / runs
+    assert np.isfinite(checksum)
 
     gen_frames = SEQ_FRAMES - PROMPT_FRAMES
     audio_s = gen_frames * HOP / SR
@@ -100,6 +113,7 @@ def main():
                 "device": str(jax.devices()[0]),
                 "nfe": NFE,
                 "seq_frames": SEQ_FRAMES,
+                "quant": quant,
             },
         })
     )

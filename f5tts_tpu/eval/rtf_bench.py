@@ -75,20 +75,25 @@ def bench_sampler(
     def voc_only(mel):
         return voc.decode(jnp.transpose(mel, (0, 2, 1)))
 
-    # compile
-    mel = sample_only(jax.random.PRNGKey(0))
-    mel.block_until_ready()
-    wav = voc_only(mel)
-    wav.block_until_ready()
+    # hard sync: fetch a scalar — under the axon tunnel block_until_ready()
+    # can return before remote execution finishes, and repeated identical
+    # inputs are served from a (executable, args) memo (see CLAUDE.md)
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    # compile (key 1000+ so timed keys below never repeat warmup inputs)
+    mel = sample_only(jax.random.PRNGKey(1000))
+    sync(mel)
+    sync(voc_only(mel))
 
     dit_times, voc_times, total_times = [], [], []
     for i in range(runs):
         t0 = time.perf_counter()
         mel = sample_only(jax.random.PRNGKey(i))
-        mel.block_until_ready()
+        sync(mel)
         t1 = time.perf_counter()
         wav = voc_only(mel)
-        wav.block_until_ready()
+        sync(wav)
         t2 = time.perf_counter()
         dit_times.append(t1 - t0)
         voc_times.append(t2 - t1)

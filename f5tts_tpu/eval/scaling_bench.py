@@ -61,17 +61,20 @@ def bench_dp_sampling(n_devices: int, model: str = "F5TTS_v1_Small",
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     def run(key):
-        return cfm.cfm_sample(params, statics, cond, text, lens, dur, t_grid,
-                              key=key, cfg_strength=2.0, dtype=dtype,
-                              backend="xla", backbone=bd)
+        # scalar checksum: fetching forces completion (tunnel sync hazard,
+        # see CLAUDE.md); the pallas backend auto-wraps in shard_map under
+        # the ambient mesh set below
+        backend = "pallas" if on_tpu else "xla"
+        mel = cfm.cfm_sample(params, statics, cond, text, lens, dur, t_grid,
+                             key=key, cfg_strength=2.0, dtype=dtype,
+                             backend=backend, backbone=bd)
+        return jnp.sum(mel.astype(jnp.float32))
 
     with jax.set_mesh(mesh):
-        out = run(jax.random.PRNGKey(0))
-        out.block_until_ready()
+        float(run(jax.random.PRNGKey(1000)))  # compile+warm, key never reused
         t0 = time.perf_counter()
-        for i in range(reps):
-            out = run(jax.random.PRNGKey(i))
-        out.block_until_ready()
+        vals = [run(jax.random.PRNGKey(i)) for i in range(reps)]
+        assert np.isfinite(sum(float(v) for v in vals))
         dt = (time.perf_counter() - t0) / reps
 
     audio_s = b * (seq_frames - seq_frames // 4) * 256 / 24000

@@ -116,6 +116,7 @@ class InferencePipeline:
     dtype: object = jnp.bfloat16
     backend: str = "pallas"
     bucket_size: int = 256
+    quantization: str = "none"         # "none" | "int8" (W8A8 DiT projections)
 
     def __post_init__(self):
         self.mel = MelFrontend(self.mel_cfg)
@@ -127,6 +128,12 @@ class InferencePipeline:
             from f5tts_tpu.models.modules import tree_cast
 
             self.params = tree_cast(self.params, self.dtype)
+        if self.quantization == "int8":
+            from f5tts_tpu.ops.quant import quantize_dit_params
+
+            self.params = quantize_dit_params(self.params)
+        elif self.quantization != "none":
+            raise ValueError(f"unknown quantization {self.quantization!r}")
 
         # sampler + vocoder fused under ONE jit: a single host dispatch per
         # generation (the per-dispatch tunnel latency is ~2-3 ms; the

@@ -51,6 +51,10 @@ def init_linear(key, d_in: int, d_out: int, bias: bool = True, zero: bool = Fals
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
+    if "w_i8" in p:  # quantized leaf (ops.quant.quantize_dit_params)
+        from f5tts_tpu.ops.quant import int8_linear
+
+        return int8_linear(p, x)
     y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
@@ -359,9 +363,18 @@ def self_attention(
     backend: str = "pallas",
 ) -> jax.Array:
     b, n, _ = x.shape
-    q = linear(p["to_q"], x)
-    k = linear(p["to_k"], x)
-    v = linear(p["to_v"], x)
+    if "w_i8" in p["to_q"]:
+        # quantize the shared input once for all three projections
+        from f5tts_tpu.ops.quant import int8_linear_pre, quantize_rows
+
+        xq, xs = quantize_rows(x)
+        q = int8_linear_pre(p["to_q"], xq, xs, x.dtype)
+        k = int8_linear_pre(p["to_k"], xq, xs, x.dtype)
+        v = int8_linear_pre(p["to_v"], xq, xs, x.dtype)
+    else:
+        q = linear(p["to_q"], x)
+        k = linear(p["to_k"], x)
+        v = linear(p["to_v"], x)
     dh = q.shape[-1] // heads
 
     def split_heads(t):

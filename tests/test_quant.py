@@ -1,0 +1,91 @@
+"""int8 W8A8 quantized inference path (ops/quant.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5tts_tpu.config import MelConfig, ModelArch, SamplingConfig
+from f5tts_tpu.models import dit
+from f5tts_tpu.models import modules as m
+from f5tts_tpu.ops import quant
+
+ARCH = ModelArch(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=16,
+                 text_num_embeds=30, text_dim=32, conv_layers=1)
+
+
+def test_weight_quant_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 64, 128)) * 0.2, jnp.float32)
+    w_i8, scale = quant.quantize_weight(w)
+    assert w_i8.dtype == jnp.int8 and scale.shape == (3, 1, 128)
+    deq = w_i8.astype(jnp.float32) * scale
+    err = np.abs(np.asarray(deq - w)).max()
+    assert err <= float(np.asarray(scale).max()) / 2 + 1e-6  # half-ULP bound
+
+
+def test_int8_linear_close_to_f32():
+    rng = np.random.default_rng(1)
+    k, n = 256, 512
+    p = {"w": jnp.asarray(rng.standard_normal((k, n)) / np.sqrt(k), jnp.float32),
+         "b": jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((4, 32, k)), jnp.float32)
+    ref = m.linear(p, x)
+    w_i8, scale = quant.quantize_weight(p["w"])
+    qp = {"w_i8": w_i8, "w_scale": scale, "b": p["b"]}
+    out = quant.int8_linear(qp, x)
+    # relative error budget for 8-bit weights and activations
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+    # dispatch through modules.linear picks the quantized path
+    out2 = m.linear(qp, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_quantize_dit_params_and_forward():
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    # densify zero-initialized AdaLN gates so outputs are nontrivial
+    params = jax.tree.map(lambda a: a + 0.02 * jnp.ones_like(a), params)
+    qparams = quant.quantize_dit_params(params)
+    assert "w_i8" in qparams["blocks"]["attn"]["to_q"]
+    assert "w" not in qparams["blocks"]["ff"]["in"]
+    assert "w" in qparams["time_embed"]["mlp1"]          # untouched
+    assert "w" in qparams["proj_out"]                     # untouched
+    # original tree not mutated
+    assert "w" in params["blocks"]["attn"]["to_q"]
+
+    statics = dit.DiTStatics(ARCH)
+    rng = np.random.default_rng(0)
+    b, nseq, nt = 2, 64, 12
+    x = jnp.asarray(rng.standard_normal((b, nseq, 16)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, nseq, 16)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (b, nt)), jnp.int32)
+    t = jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32)
+    ref = np.asarray(dit.dit_forward(params, statics, x, cond, text, t, backend="xla"))
+    out = np.asarray(dit.dit_forward(qparams, statics, x, cond, text, t, backend="xla"))
+    cos = float((ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.999, cos
+
+
+def test_pipeline_int8_end_to_end():
+    from f5tts_tpu.infer.pipeline import InferencePipeline
+    from f5tts_tpu.text.vocab import load_vocab
+    from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
+
+    arch = dataclasses.replace(ARCH, mel_dim=100, text_num_embeds=2545)
+    params = dit.init_dit(jax.random.PRNGKey(0), arch)
+    voc_cfg = VocosConfig(input_channels=100, dim=32, intermediate_dim=64, num_layers=1)
+    vocoder = Vocos(init_vocos(jax.random.PRNGKey(1), voc_cfg), voc_cfg)
+    pipe = InferencePipeline(
+        params=params, statics=dit.DiTStatics(arch), vocoder=vocoder.decode,
+        vocab_char_map=load_vocab("f5tts_tpu/data/vocab_emilia_pinyin.txt"),
+        mel_cfg=MelConfig(),
+        sampling=dataclasses.replace(SamplingConfig(), nfe_steps=2, max_duration=512),
+        tokenizer="pinyin", dtype=jnp.float32, backend="xla", bucket_size=128,
+        quantization="int8",
+    )
+    rng = np.random.default_rng(0)
+    ref_wav = (rng.standard_normal(24000) * 0.05).astype(np.float32)
+    wave, sr, mel = pipe.infer(ref_wav, 24000, "a reference.", "hello", seed=0, nfe_step=2)
+    assert np.isfinite(wave).all() and len(wave) > 1000
