@@ -106,19 +106,30 @@ class CustomDataset:
         row = self.data[index]
         return row["duration"] * cfg.target_sample_rate / cfg.hop_length
 
+    def _resolve_index(self, index: int) -> int:
+        """Bad-duration rows are skipped forward (ref :129-140); text and
+        audio accessors must agree on the replacement row."""
+        if self.preprocessed_mel:
+            return index
+        while True:
+            duration = self.data[index].get("duration")
+            if duration is None or 0.3 <= duration <= 30.0:
+                return index
+            index = (index + 1) % len(self.data)
+
+    def get_text(self, index: int) -> str:
+        """Cheap text-only accessor (no audio IO) — used by the multi-host
+        input path so every process can tokenize the full global batch."""
+        return self.data[self._resolve_index(index)]["text"]
+
     def __getitem__(self, index: int) -> Sample:
         cfg = self.mel_cfg
-        while True:
-            row = self.data[index]
-            if self.preprocessed_mel:
-                mel = np.asarray(row["mel_spec"], np.float32)
-                if mel.shape[0] == cfg.n_mel_channels:
-                    mel = mel.T
-                return Sample(mel=mel, text=row["text"])
-            duration = row.get("duration")
-            if duration is None or 0.3 <= duration <= 30.0:
-                break
-            index = (index + 1) % len(self.data)  # skip bad rows (ref :129-140)
+        row = self.data[self._resolve_index(index)]
+        if self.preprocessed_mel:
+            mel = np.asarray(row["mel_spec"], np.float32)
+            if mel.shape[0] == cfg.n_mel_channels:
+                mel = mel.T
+            return Sample(mel=mel, text=row["text"])
         from f5tts_tpu.infer import audio_io
 
         path = os.path.join(self.audio_root, row["audio_path"])
@@ -215,14 +226,20 @@ def collate(
     samples: list[Sample],
     bucket_frames: int = 64,
     max_frames: Optional[int] = None,
+    pad_to: Optional[int] = None,
 ) -> dict:
     """Pad to batch max rounded up to `bucket_frames` (compile-bucket
-    discipline); returns numpy arrays + raw text list."""
+    discipline); returns numpy arrays + raw text list. `pad_to` forces an
+    exact width — the multi-host path uses it so every process pads its
+    local shard to the same globally-agreed width."""
     lens = np.asarray([s.mel.shape[0] for s in samples], np.int32)
-    width = int(lens.max())
-    width = round_up(width, bucket_frames)
-    if max_frames is not None:
-        width = min(width, max_frames)
+    if pad_to is not None:
+        width = pad_to
+    else:
+        width = int(lens.max())
+        width = round_up(width, bucket_frames)
+        if max_frames is not None:
+            width = min(width, max_frames)
     d = samples[0].mel.shape[1]
     mel = np.zeros((len(samples), width, d), np.float32)
     for i, s in enumerate(samples):

@@ -118,6 +118,8 @@ class Trainer:
         return list_str_to_tensor(texts, pad_to=pad_to)
 
     def _log(self, metrics: dict, step: int) -> None:
+        if jax.process_index() != 0:  # one writer per pod, like accelerate
+            return
         if self.writer == "wandb":
             import wandb
 
@@ -217,22 +219,45 @@ class Trainer:
             for bi, batch_idx in enumerate(sampler):
                 if epoch == start_epoch and bi < skip_batches:
                     continue
-                samples = [dataset[i] for i in batch_idx]
-                batch = collate(samples)
                 # batch rows must be divisible over the data axis
-                if self.dp_size > 1 and len(samples) % self.dp_size != 0:
-                    keep = (len(samples) // self.dp_size) * self.dp_size
-                    if keep == 0:
+                if self.dp_size > 1 and len(batch_idx) % self.dp_size != 0:
+                    batch_idx = batch_idx[:(len(batch_idx) // self.dp_size) * self.dp_size]
+                    if not batch_idx:
                         continue
-                    batch = {k: (v[:keep] if not isinstance(v, list) else v[:keep])
-                             for k, v in batch.items()}
-                text_ids = self.tokenize(batch["text"])
-                if self.cfg.log_samples:
-                    t0_len = int(batch["mel_lengths"][0])
-                    self._last_sample = (batch["mel"][0, :t0_len].copy(),
-                                         batch["text"][0])
-                mel, text_ids, lens = self._device_put_batch(
-                    batch["mel"], text_ids, batch["mel_lengths"])
+                if jax.process_count() > 1:
+                    # per-host loading: every process sees the same sampler
+                    # sequence, loads audio only for its own rows, and pads to
+                    # the globally-agreed width (train/multihost.py)
+                    from f5tts_tpu.train import multihost as mh
+                    from f5tts_tpu.parallel.mesh import batch_sharding
+
+                    dsh = batch_sharding(self.mesh)
+                    width = mh.global_pad_width([frame_lens[i] for i in batch_idx])
+                    texts = [dataset.get_text(i) for i in batch_idx]
+                    text_ids_g = self.tokenize(texts)
+                    rows = mh.process_local_rows(dsh, len(batch_idx))
+                    samples = [dataset[batch_idx[r]] for r in range(rows.start, rows.stop)]
+                    local = collate(samples, pad_to=width)
+                    batch = {"mel": local["mel"], "mel_lengths": local["mel_lengths"],
+                             "text": [s.text for s in samples]}
+                    mel = mh.assemble_global(dsh, local["mel"], len(batch_idx))
+                    lens = mh.assemble_global(dsh, local["mel_lengths"], len(batch_idx))
+                    text_ids = mh.assemble_global(
+                        dsh, np.ascontiguousarray(text_ids_g[rows]), len(batch_idx))
+                    if self.cfg.log_samples and len(samples):
+                        t0_len = int(local["mel_lengths"][0])
+                        self._last_sample = (local["mel"][0, :t0_len].copy(),
+                                             samples[0].text)
+                else:
+                    samples = [dataset[i] for i in batch_idx]
+                    batch = collate(samples)
+                    text_ids = self.tokenize(batch["text"])
+                    if self.cfg.log_samples:
+                        t0_len = int(batch["mel_lengths"][0])
+                        self._last_sample = (batch["mel"][0, :t0_len].copy(),
+                                             batch["text"][0])
+                    mel, text_ids, lens = self._device_put_batch(
+                        batch["mel"], text_ids, batch["mel_lengths"])
 
                 key, sub = jax.random.split(key)
                 if self._accum == 1:
