@@ -102,42 +102,65 @@ def build_app(tts: F5TTS) -> "gr.Blocks":
             btn2.click(multi_tts, [gen_multi, *rows], out2)
 
         with gr.Tab("Voice Chat"):
-            # reference infer_gradio.py:739: chat LLM (Qwen2.5-3B-Instruct)
-            # answers, the answer is spoken in the reference voice
+            # reference infer_gradio.py:739-1000: chat LLM answers (typed or
+            # spoken via ASR), the answer is spoken in the reference voice
+            from f5tts_tpu.infer.voice_chat import (
+                DEFAULT_CHAT_MODELS, DEFAULT_SYSTEM_PROMPT, VoiceChatEngine)
+
             gr.Markdown("Chat with an LLM; replies are spoken in your reference voice. "
                         "Requires the chat model weights (network).")
+            chat_model_name = gr.Dropdown(choices=DEFAULT_CHAT_MODELS,
+                                          value=DEFAULT_CHAT_MODELS[0],
+                                          allow_custom_value=True,
+                                          label="Chat model")
             chat_ref_audio = gr.Audio(label="Your voice (reference)", type="filepath")
             chat_ref_text = gr.Textbox(label="Reference text")
+            system_prompt = gr.Textbox(label="System prompt",
+                                       value=DEFAULT_SYSTEM_PROMPT, lines=2)
             chatbot = gr.Chatbot(type="messages")
-            chat_in = gr.Textbox(label="Message")
+            chat_in = gr.Textbox(label="Message (or record below)")
+            chat_mic = gr.Audio(sources=["microphone"], type="numpy",
+                                label="Spoken message")
             chat_audio = gr.Audio(label="Spoken reply")
-            chat_state = {"model": None, "tokenizer": None}
+            clear_btn = gr.Button("Clear conversation")
 
-            def chat_reply(history, message, ref_audio_path, ref_text):
-                if chat_state["model"] is None:
-                    from transformers import AutoModelForCausalLM, AutoTokenizer
+            def _tts_call(ref_wav, ref_sr, ref_text, gen_text):
+                wav, sr, _ = tts.pipeline.infer(ref_wav, ref_sr, ref_text or "", gen_text)
+                return wav, sr
 
-                    name = "Qwen/Qwen2.5-3B-Instruct"
-                    chat_state["tokenizer"] = AutoTokenizer.from_pretrained(name)
-                    chat_state["model"] = AutoModelForCausalLM.from_pretrained(name)
-                tok, model = chat_state["tokenizer"], chat_state["model"]
-                msgs = [{"role": "system",
-                         "content": "You are a concise, friendly voice assistant."}]
-                msgs += history + [{"role": "user", "content": message}]
-                ids = tok.apply_chat_template(msgs, add_generation_prompt=True,
-                                              return_tensors="pt")
-                out_ids = model.generate(ids, max_new_tokens=256, do_sample=True,
-                                         temperature=0.7)
-                reply = tok.decode(out_ids[0][ids.shape[1]:], skip_special_tokens=True)
-                history = history + [{"role": "user", "content": message},
-                                     {"role": "assistant", "content": reply}]
-                wav, sr = _load_ref(ref_audio_path)
-                spoken, out_sr, _ = tts.pipeline.infer(wav, sr, ref_text or "", reply)
-                return history, "", (out_sr, spoken)
+            engine = VoiceChatEngine(tts=_tts_call)
+
+            def chat_reply(history, message, mic, ref_audio_path, ref_text,
+                           sys_prompt, model_name):
+                if engine.chat_model_name != model_name:
+                    engine.chat_model_name, engine.chat = model_name, None
+                engine.system_prompt = sys_prompt
+                engine.history = list(history)
+                ref_wav, ref_sr = _load_ref(ref_audio_path)
+                if message:
+                    _, wav, sr = engine.respond_to_text(message, ref_wav, ref_sr, ref_text)
+                elif mic is not None:
+                    mic_sr, mic_wav = mic
+                    mic_wav = np.asarray(mic_wav, np.float32)
+                    if mic_wav.dtype.kind == "f" and np.abs(mic_wav).max() > 1.5:
+                        mic_wav = mic_wav / 32768.0
+                    _, _, wav, sr = engine.respond_to_audio(
+                        mic_wav, mic_sr, ref_wav, ref_sr, ref_text)
+                else:
+                    return history, "", None
+                return engine.history, "", (sr, wav)
 
             chat_in.submit(chat_reply,
-                           [chatbot, chat_in, chat_ref_audio, chat_ref_text],
+                           [chatbot, chat_in, chat_mic, chat_ref_audio,
+                            chat_ref_text, system_prompt, chat_model_name],
                            [chatbot, chat_in, chat_audio])
+            chat_mic.stop_recording(
+                chat_reply,
+                [chatbot, chat_in, chat_mic, chat_ref_audio,
+                 chat_ref_text, system_prompt, chat_model_name],
+                [chatbot, chat_in, chat_audio])
+            clear_btn.click(lambda: ([], "", None), None,
+                            [chatbot, chat_in, chat_audio])
 
     return app
 
