@@ -75,6 +75,53 @@ def test_get_inference_prompt_bucketing(tmp_path):
         assert (b["total_mel_lens"] >= b["ref_mel_lens"]).all()
 
 
+def test_eval_runner_seedtts_wer(tmp_path, monkeypatch):
+    from f5tts_tpu.eval import eval_runner, utils_eval
+
+    meta = tmp_path / "meta.lst"
+    meta.write_text("utt1|prompt one|p1.wav|target one|gt1.wav\n"
+                    "utt2|prompt two|p2.wav|target two|gt2.wav\n")
+    gen_dir = tmp_path / "gen"
+    gen_dir.mkdir()
+    (gen_dir / "utt1.wav").write_bytes(b"")  # only utt1 was generated
+
+    triples = eval_runner.build_seedtts_test_set(str(meta), str(gen_dir))
+    assert len(triples) == 1
+    assert triples[0][0].endswith("utt1.wav")
+    assert triples[0][2] == "target one"
+
+    def fake_wer(lang, pairs, device="cpu"):
+        return [{"wav": w, "truth": t, "hypo": t, "wer": 0.25} for w, t in pairs]
+
+    monkeypatch.setattr(utils_eval, "run_asr_wer", fake_wer)
+    mean = eval_runner.score_test_set("wer", triples, str(gen_dir), lang="en")
+    assert mean == 0.25
+    result = (gen_dir / "_wer_results.jsonl").read_text()
+    assert "WER: 0.25" in result and "utt1.wav" in result
+
+
+def test_eval_runner_librispeech_pairs(tmp_path, monkeypatch):
+    from f5tts_tpu.eval import eval_runner, utils_eval
+
+    meta = tmp_path / "cross.lst"
+    meta.write_text("1089-134686-0000\t3.0\tREF TEXT\t1188-133604-0001\t5.0\tGEN TEXT\n")
+    gen_dir = tmp_path / "gen"
+    gen_dir.mkdir()
+    (gen_dir / "1188-133604-0001.wav").write_bytes(b"")
+
+    triples = eval_runner.build_librispeech_test_set(str(meta), str(gen_dir), "/ls")
+    assert triples == [(str(gen_dir / "1188-133604-0001.wav"),
+                        "/ls/1089/134686/1089-134686-0000.flac", "GEN TEXT")]
+
+    def fake_sim(pairs, ckpt, device="cpu"):
+        return [{"gen": g, "gt": r, "sim": 0.8} for g, r in pairs]
+
+    monkeypatch.setattr(utils_eval, "run_sim", fake_sim)
+    mean = eval_runner.score_test_set("sim", triples, str(gen_dir))
+    assert mean == 0.8
+    assert (gen_dir / "_sim_results.jsonl").exists()
+
+
 def test_generate_batches_end_to_end(tmp_path):
     arch = ModelArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=100,
                      text_num_embeds=2545, text_dim=16, conv_layers=1)
