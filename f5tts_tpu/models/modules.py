@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from f5tts_tpu.ops.attention import attention as attention_op
-from f5tts_tpu.ops.rope import apply_rotary_partial_heads
+from f5tts_tpu.ops.rope import apply_rotary_flat, apply_rotary_partial_heads
 
 Params = dict  # nested dict pytree of jnp arrays
 
@@ -380,15 +380,21 @@ def self_attention(
     def split_heads(t):
         return t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
 
-    q, k, v = split_heads(q), split_heads(k), split_heads(v)
-
-    if "q_norm" in p:
+    if "q_norm" not in p:
+        # fast path: rope on the flat [b, n, h*d] layout BEFORE the head
+        # split, so the transpose materializes in the native (bf16) dtype.
+        # Invalid under qk-norm (per-head rms must precede rotation).
+        if rope_angles is not None:
+            q = apply_rotary_flat(q, rope_angles, heads, pe_attn_head)
+            k = apply_rotary_flat(k, rope_angles, heads, pe_attn_head)
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    else:
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
         q = rms_norm(p["q_norm"], q)
         k = rms_norm(p["k_norm"], k)
-
-    if rope_angles is not None:
-        q = apply_rotary_partial_heads(q, rope_angles, pe_attn_head)
-        k = apply_rotary_partial_heads(k, rope_angles, pe_attn_head)
+        if rope_angles is not None:
+            q = apply_rotary_partial_heads(q, rope_angles, pe_attn_head)
+            k = apply_rotary_partial_heads(k, rope_angles, pe_attn_head)
 
     o = attention_op(q, k, v, lengths=lengths, backend=backend)
     o = o.transpose(0, 2, 1, 3).reshape(b, n, heads * dh)

@@ -49,6 +49,43 @@ def apply_rotary(x: jax.Array, angles: jax.Array, scale: float = 1.0) -> jax.Arr
     return out.astype(x.dtype)
 
 
+def apply_rotary_flat(
+    x: jax.Array,                 # [b, n, h*d] pre-head-split projection output
+    angles: jax.Array,            # [>=n, d] interleaved-pair angle table
+    heads: int,
+    pe_attn_head: int | None = None,
+) -> jax.Array:
+    """RoPE on the flat [b, n, h*d] layout, before the head-split transpose.
+
+    Numerically identical to apply_rotary_partial_heads after split_heads
+    (rotation pairs are local to each head's lane group), but keeps the
+    projection output in its native dtype/layout: on TPU the later
+    [b,n,h,d]->[b,h,n,d] transpose then materializes one bf16 copy instead
+    of an f32 one (device traces showed the f32 rope intermediates riding
+    into the transpose at 2x the bytes). The rotate-half is lane rolls +
+    sign select — no [.., d/2, 2] reshape/stack relayout. `pe_attn_head`
+    (reference modules.py:503-509) is folded into the tiled tables as
+    cos=1/sin=0 on unrotated heads.
+    """
+    b, n, hd = x.shape
+    d = hd // heads
+    ang = angles[:n].astype(jnp.float32)          # [n, d]
+    cos = jnp.tile(jnp.cos(ang), (1, heads))      # [n, h*d]
+    sin = jnp.tile(jnp.sin(ang), (1, heads))
+    lane = jnp.arange(hd)
+    if pe_attn_head is not None:
+        rotated = lane < pe_attn_head * d
+        cos = jnp.where(rotated, cos, 1.0)
+        sin = jnp.where(rotated, sin, 0.0)
+    xf = x.astype(jnp.float32)
+    # out[2i] = -x[2i+1], out[2i+1] = x[2i] via two lane rolls + parity select
+    # (wrap-around elements land only on positions the select discards)
+    rot = jnp.where(lane % 2 == 0,
+                    -jnp.roll(xf, -1, axis=-1),
+                    jnp.roll(xf, 1, axis=-1))
+    return (xf * cos + rot * sin).astype(x.dtype)
+
+
 def apply_rotary_partial_heads(
     x: jax.Array, angles: jax.Array, pe_attn_head: int | None
 ) -> jax.Array:

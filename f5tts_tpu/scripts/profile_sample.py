@@ -1,0 +1,118 @@
+"""Capture + summarize a device trace of the flagship sampler.
+
+Runs the bench.py workload (F5TTS_v1_Base, 16 NFE, b=1, n=1024) under
+jax.profiler, then parses the resulting trace.json.gz and prints the top ops
+by total device time with their share of the sampled window. This is the
+TPU-side equivalent of the reference's nsys/NVTX stage breakdown
+(reference: runtime/triton_trtllm/benchmark.py:387-464).
+
+Usage: python -m f5tts_tpu.scripts.profile_sample [--top 30] [--logdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import dataclasses
+import glob
+import gzip
+import json
+import os
+import re
+
+
+def run_workload(logdir: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from f5tts_tpu.config import PRESETS
+    from f5tts_tpu.models import cfm, dit
+    from f5tts_tpu.utils import make_time_grid
+    from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
+    from f5tts_tpu.models.modules import tree_cast
+
+    arch = dataclasses.replace(PRESETS["F5TTS_v1_Base"].arch, text_num_embeds=2545)
+    params = tree_cast(dit.init_dit(jax.random.PRNGKey(0), arch), jnp.bfloat16)
+    statics = dit.DiTStatics(arch)
+    voc = Vocos(init_vocos(jax.random.PRNGKey(1), VocosConfig()), VocosConfig())
+
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((1, 1024, 100)) * 0.1, jnp.float32)
+    text = jnp.asarray(rng.integers(1, 2545, (1, 128)), jnp.int32)
+    lens = jnp.full((1,), 256, jnp.int32)
+    duration = jnp.full((1,), 1024, jnp.int32)
+    t_grid = make_time_grid(16, sway_sampling_coef=-1.0, use_epss=True)
+
+    @jax.jit
+    def generate(params, cond, text, lens, duration, key):
+        mel = cfm.cfm_sample(params, statics, cond, text, lens, duration, t_grid,
+                             key=key, cfg_strength=2.0, dtype=jnp.bfloat16,
+                             backend="pallas")
+        wav = voc.decode(jnp.transpose(mel, (0, 2, 1)))
+        return jnp.sum(wav.astype(jnp.float32))
+
+    # warmup/compile, hard sync via value fetch
+    float(generate(params, cond, text, lens, duration, jax.random.PRNGKey(0)))
+
+    jax.profiler.start_trace(logdir)
+    vals = [generate(params, cond, text, lens, duration, jax.random.PRNGKey(i))
+            for i in range(1, 4)]
+    total = sum(float(v) for v in vals)
+    jax.profiler.stop_trace()
+    assert np.isfinite(total)
+
+
+_GENERIC = re.compile(r"\d+")
+
+
+def summarize(logdir: str, top: int = 30):
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
+    if not paths:
+        raise SystemExit(f"no trace.json.gz under {logdir}")
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+
+    events = trace["traceEvents"]
+    # find TPU device pids (track names like "/device:TPU:0" or "TPU:0")
+    pid_names = {e["pid"]: e["args"].get("name", "") for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tpu_pids = {pid for pid, name in pid_names.items()
+                if "TPU" in name and "host" not in name.lower()}
+
+    by_op = collections.Counter()
+    calls = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            continue
+        name = e.get("name", "")
+        dur = e.get("dur", 0)  # microseconds
+        # collapse fusion indices: "fusion.123" -> "fusion", keep kernel names
+        base = _GENERIC.sub("#", name)
+        by_op[base] += dur
+        calls[base] += 1
+        total += dur
+
+    print(f"trace: {path}")
+    print(f"total device-op time in window: {total/1e3:.3f} ms "
+          f"(3 sampler calls incl. vocoder)")
+    print(f"{'op':<60} {'ms':>9} {'%':>6} {'calls':>7}")
+    for op, dur in by_op.most_common(top):
+        print(f"{op:<60} {dur/1e3:9.3f} {100*dur/max(total,1):6.2f} {calls[op]:7d}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logdir", default="/tmp/jax-trace-sample")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--parse-only", action="store_true")
+    args = ap.parse_args(argv)
+    if not args.parse_only:
+        run_workload(args.logdir)
+    summarize(args.logdir, args.top)
+
+
+if __name__ == "__main__":
+    main()
