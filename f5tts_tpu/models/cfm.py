@@ -206,11 +206,27 @@ def _sample_scan(
     te_cond, te_uncond = bdef.precompute_text_embeds(params, statics, text, n,
                                                      lengths, dtype)
 
-    def flow_fn(x, t_scalar):
+    # every step's t is known here, so ALL timestep-AdaLN work (41% of DiT
+    # weight bytes otherwise re-read each step) is hoisted out of the scan
+    hoist_mods = bdef.name == "DiT"
+    if hoist_mods:
+        if method == "euler":
+            t_values = t_grid[:steps]
+        else:  # midpoint evaluates at t and t + dt/2; v2 index = steps + i
+            dts = t_grid[1:] - t_grid[:-1]
+            t_values = jnp.concatenate([t_grid[:steps],
+                                        t_grid[:steps] + 0.5 * dts])
+        block_mods, final_mods = dit.precompute_t_mods(
+            params, t_values, 2 * b, dtype=dtype)
+
+    def flow_fn(x, t_scalar, t_idx):
+        kw = {}
+        if hoist_mods:
+            kw["t_mods"] = (block_mods[:, t_idx], final_mods[t_idx])
         pred_cfg = bdef.forward(
             params, statics, x, step_cond, text, t_scalar,
             lengths=lengths, cfg_infer=True, text_embeds=(te_cond, te_uncond),
-            dtype=dtype, backend=backend,
+            dtype=dtype, backend=backend, **kw,
         )
         pred, null_pred = jnp.split(pred_cfg, 2, axis=0)
         return pred + (pred - null_pred) * cfg_strength
@@ -218,15 +234,15 @@ def _sample_scan(
     def euler_step(x, i):
         t_cur = t_grid[i]
         dt = t_grid[i + 1] - t_grid[i]
-        v = flow_fn(x, jnp.broadcast_to(t_cur, (b,)))
+        v = flow_fn(x, jnp.broadcast_to(t_cur, (b,)), i)
         return x + dt * v.astype(x.dtype), None
 
     def midpoint_step(x, i):
         t_cur = t_grid[i]
         dt = t_grid[i + 1] - t_grid[i]
-        v1 = flow_fn(x, jnp.broadcast_to(t_cur, (b,)))
+        v1 = flow_fn(x, jnp.broadcast_to(t_cur, (b,)), i)
         x_mid = x + 0.5 * dt * v1.astype(x.dtype)
-        v2 = flow_fn(x_mid, jnp.broadcast_to(t_cur + 0.5 * dt, (b,)))
+        v2 = flow_fn(x_mid, jnp.broadcast_to(t_cur + 0.5 * dt, (b,)), steps + i)
         return x + dt * v2.astype(x.dtype), None
 
     step = euler_step if method == "euler" else midpoint_step

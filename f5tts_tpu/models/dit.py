@@ -220,16 +220,20 @@ def dit_apply(
     lengths: Optional[jax.Array],   # [b] or None
     backend: str = "pallas",
     checkpoint_blocks: bool = False,
+    t_mods: Optional[tuple] = None,  # (block_mods [L, b, 6*dim], final_mod [b, 2*dim])
 ) -> jax.Array:
     """Run the stacked DiT blocks + final AdaLN + projection."""
     arch = statics.arch
     n = x_embedded.shape[1]
     rope = statics.rope_angles[:n]
+    block_mods, final_mod = t_mods if t_mods is not None else (None, None)
 
-    def body(carry, blk_params):
+    def body(carry, scanned):
+        blk_params, mods = scanned
         h = m.dit_block(
             blk_params, carry, t_emb, arch.heads, rope,
             lengths=lengths, pe_attn_head=arch.pe_attn_head, backend=backend,
+            mods=mods,
         )
         return h, None
 
@@ -243,11 +247,11 @@ def dit_apply(
     # rolled scan copies each layer's weights out of the stacked arrays every
     # iteration (~15% of step time in device traces)
     unroll = 1 if (checkpoint_blocks or arch.checkpoint_activations) else arch.depth
-    x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
+    x, _ = jax.lax.scan(body, x, (params["blocks"], block_mods), unroll=unroll)
     if arch.long_skip_connection:
         x = m.linear(params["long_skip"], jnp.concatenate([x, residual], axis=-1))
 
-    x = m.adaln_final(params["norm_out"], x, t_emb)
+    x = m.adaln_final(params["norm_out"], x, t_emb, mod=final_mod)
     return m.linear(params["proj_out"], x)
 
 
@@ -265,18 +269,22 @@ def dit_forward(
     text_embeds: Optional[tuple] = None,  # precomputed (cond_embed, uncond_embed)
     dtype=jnp.float32,
     backend: str = "pallas",
+    t_mods: Optional[tuple] = None,  # precomputed AdaLN mods, batch dim == packed batch
 ) -> jax.Array:
     """Full forward matching reference DiT.forward (dit.py:319-370).
 
     With cfg_infer=True returns [2b, n, mel]: cond rows then uncond rows.
     `text_embeds` replaces the reference's cross-step thread-local cache.
+    `t_mods` (see `precompute_t_mods`) replaces the per-step timestep
+    embedding + per-layer AdaLN modulation linears entirely.
     """
     arch = statics.arch
     b, n, _ = x.shape
     if time.ndim == 0:
         time = jnp.broadcast_to(time, (b,))
 
-    t_emb = m.timestep_embedding(params["time_embed"], time, dtype=dtype)
+    t_emb = (None if t_mods is not None
+             else m.timestep_embedding(params["time_embed"], time, dtype=dtype))
 
     audio_mask = None
     if lengths is not None:
@@ -298,7 +306,8 @@ def dit_forward(
         x_u = input_embedding(params["input_embed"], x, cond, te_uncond,
                               drop_audio_cond=True, audio_mask=audio_mask)
         h = jnp.concatenate([x_c, x_u], axis=0)
-        t_emb = jnp.concatenate([t_emb, t_emb], axis=0)
+        if t_emb is not None:
+            t_emb = jnp.concatenate([t_emb, t_emb], axis=0)
         lengths2 = jnp.concatenate([lengths, lengths], axis=0) if lengths is not None else None
     else:
         if text_embeds is None:
@@ -310,5 +319,37 @@ def dit_forward(
                             drop_audio_cond=drop_audio_cond, audio_mask=audio_mask)
         lengths2 = lengths
 
-    out = dit_apply(params, statics, h, t_emb, lengths2, backend=backend)
+    out = dit_apply(params, statics, h, t_emb, lengths2, backend=backend,
+                    t_mods=t_mods)
     return out.astype(jnp.float32)
+
+
+def precompute_t_mods(params: m.Params, t_values: jax.Array, batch: int,
+                      dtype=jnp.bfloat16) -> tuple:
+    """Hoist ALL timestep-dependent AdaLN work out of the NFE scan.
+
+    The per-layer modulation linears (dim -> 6*dim per block; 138M params =
+    41% of DiT-Base weight bytes) are applied with M = batch (=2) inside every
+    ODE step, so the sampler re-reads ~280 MB of weights per step for an
+    HBM-bound matmul. All step times are known before the scan, so one einsum
+    over the stacked block weights computes every step's modulation vectors
+    once (reference re-runs AdaLN per step on GPU: modules.py:743-757,
+    f5_tts_trtllm.py:325-369 — folding it across steps is TPU-scan-specific).
+
+    Returns (block_mods [L, S, batch, 6*dim], final_mod [S, batch, 2*dim])
+    for `t_values` [S]; numerics match the in-step path (same silu/linear
+    dtype chain).
+    """
+    s = t_values.shape[0]
+    t_flat = jnp.broadcast_to(t_values[:, None], (s, batch)).reshape(-1)
+    emb = m.timestep_embedding(params["time_embed"], t_flat, dtype=dtype)
+    h = jax.nn.silu(emb)                                        # [s*b, dim]
+    wb = params["blocks"]["attn_norm"]["linear"]["w"].astype(dtype)
+    bb = params["blocks"]["attn_norm"]["linear"]["b"].astype(dtype)
+    block_mods = jnp.einsum("nd,ldk->lnk", h, wb) + bb[:, None, :]
+    depth = wb.shape[0]
+    block_mods = block_mods.reshape(depth, s, batch, -1)
+    wf = params["norm_out"]["linear"]["w"].astype(dtype)
+    bf = params["norm_out"]["linear"]["b"].astype(dtype)
+    final_mod = (h @ wf + bf).reshape(s, batch, -1)
+    return block_mods, final_mod

@@ -313,8 +313,9 @@ def init_adaln_final(key, dim: int, zero: bool = True) -> Params:
     return {"linear": init_linear(key, dim, 2 * dim, zero=zero)}
 
 
-def adaln_final(p: Params, x: jax.Array, emb: jax.Array) -> jax.Array:
-    h = linear(p["linear"], jax.nn.silu(emb))
+def adaln_final(p: Params, x: jax.Array, emb: jax.Array,
+                mod: Optional[jax.Array] = None) -> jax.Array:
+    h = linear(p["linear"], jax.nn.silu(emb)) if mod is None else mod
     scale, shift = jnp.split(h, 2, axis=-1)  # NOTE: (scale, shift) order (:344)
     return layer_norm(x) * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
@@ -366,7 +367,11 @@ def self_attention(
     backend: str = "pallas",
 ) -> jax.Array:
     b, n, _ = x.shape
-    if "w_i8" in p["to_q"]:
+    if "to_qkv" in p:
+        # inference-fused projection (fuse_attention_qkv): one [d, 3*inner]
+        # dot reads x from HBM once instead of three times
+        q, k, v = jnp.split(linear(p["to_qkv"], x), 3, axis=-1)
+    elif "w_i8" in p["to_q"]:
         # quantize the shared input once for all three projections
         from f5tts_tpu.ops.quant import int8_linear_pre, quantize_rows
 
@@ -432,10 +437,16 @@ def dit_block(
     lengths: Optional[jax.Array] = None,
     pe_attn_head: Optional[int] = None,
     backend: str = "pallas",
+    mods: Optional[jax.Array] = None,  # [b, 6*dim] precomputed modulation
 ) -> jax.Array:
-    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = adaln_modulation(
-        p["attn_norm"], t_emb
-    )
+    if mods is None:
+        mods6 = adaln_modulation(p["attn_norm"], t_emb)
+    else:
+        # sampler-hoisted: the AdaLN linear (dim -> 6*dim, 41% of DiT weight
+        # bytes) was applied once for ALL ODE steps outside the NFE scan
+        # instead of re-reading its weights from HBM every step
+        mods6 = jnp.split(mods, 6, axis=-1)
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods6
     norm = adaln_pre(x, shift_msa, scale_msa)
     attn_out = self_attention(
         p["attn"], norm, heads, rope_angles, lengths, pe_attn_head, backend
@@ -445,6 +456,24 @@ def dit_block(
     norm = layer_norm(x) * (1.0 + scale_mlp[:, None, :]) + shift_mlp[:, None, :]
     x = x + gate_mlp[:, None, :] * feed_forward(p["ff"], norm)
     return x
+
+
+def fuse_attention_qkv(attn: Params) -> Params:
+    """Inference-only: merge to_q/to_k/to_v into one to_qkv linear.
+
+    Works on a single block or on depth-stacked params (kernels [..., d, inner]
+    concatenated on the output axis). `self_attention` dispatches on the
+    presence of "to_qkv". int8 quantization composes: per-output-channel
+    scales concatenate exactly."""
+    if "to_qkv" in attn or "to_q" not in attn:
+        return attn
+    out = {k: v for k, v in attn.items() if k not in ("to_q", "to_k", "to_v")}
+    parts = [attn["to_q"], attn["to_k"], attn["to_v"]]
+    fused = {"w": jnp.concatenate([p["w"] for p in parts], axis=-1)}
+    if "b" in parts[0]:
+        fused["b"] = jnp.concatenate([p["b"] for p in parts], axis=-1)
+    out["to_qkv"] = fused
+    return out
 
 
 def tree_cast(params: Any, dtype) -> Any:

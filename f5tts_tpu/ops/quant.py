@@ -70,6 +70,7 @@ def int8_linear(p: Params, x: jax.Array) -> jax.Array:
 
 
 _QUANT_LEAVES = (
+    ("attn", "to_qkv"),  # inference-fused (modules.fuse_attention_qkv)
     ("attn", "to_q"), ("attn", "to_k"), ("attn", "to_v"), ("attn", "to_out"),
     ("ff", "in"), ("ff", "out"),
 )
