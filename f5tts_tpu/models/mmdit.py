@@ -185,11 +185,11 @@ def _mmdit_block(blk, x, c, t_emb, heads, rope_audio, rope_text,
         c = None
     else:
         c = c + c_gm[:, None, :] * c_attn
-        norm_c = m.layer_norm(c) * (1.0 + c_sc2[:, None, :]) + c_s2[:, None, :]
+        norm_c = m.adaln_pre(c, c_s2, c_sc2)
         c = c + c_g2[:, None, :] * m.feed_forward(blk["ff_c"], norm_c)
 
     x = x + x_gm[:, None, :] * x_attn
-    norm_x = m.layer_norm(x) * (1.0 + x_sc2[:, None, :]) + x_s2[:, None, :]
+    norm_x = m.adaln_pre(x, x_s2, x_sc2)
     x = x + x_g2[:, None, :] * m.feed_forward(blk["ff_x"], norm_x)
     return x, c
 

@@ -305,8 +305,12 @@ def adaln_modulation(p: Params, emb: jax.Array):
 
 
 def adaln_pre(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
-    """LayerNorm(no affine) * (1 + scale) + shift (broadcast over seq)."""
-    return layer_norm(x) * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    """LayerNorm(no affine) * (1 + scale) + shift (broadcast over seq).
+
+    Fused Pallas kernel on TPU (ops/adaln_norm.py); XLA chain elsewhere."""
+    from f5tts_tpu.ops.adaln_norm import adaln_norm
+
+    return adaln_norm(x, scale, shift)
 
 
 def init_adaln_final(key, dim: int, zero: bool = True) -> Params:
@@ -317,7 +321,7 @@ def adaln_final(p: Params, x: jax.Array, emb: jax.Array,
                 mod: Optional[jax.Array] = None) -> jax.Array:
     h = linear(p["linear"], jax.nn.silu(emb)) if mod is None else mod
     scale, shift = jnp.split(h, 2, axis=-1)  # NOTE: (scale, shift) order (:344)
-    return layer_norm(x) * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    return adaln_pre(x, shift, scale)
 
 
 # ---------------------------------------------------------------------------
@@ -453,7 +457,7 @@ def dit_block(
     )
     x = x + gate_msa[:, None, :] * attn_out
 
-    norm = layer_norm(x) * (1.0 + scale_mlp[:, None, :]) + shift_mlp[:, None, :]
+    norm = adaln_pre(x, shift_mlp, scale_mlp)
     x = x + gate_mlp[:, None, :] * feed_forward(p["ff"], norm)
     return x
 

@@ -30,10 +30,11 @@ def run_workload(logdir: str):
     from f5tts_tpu.models import cfm, dit
     from f5tts_tpu.utils import make_time_grid
     from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
-    from f5tts_tpu.models.modules import tree_cast
+    from f5tts_tpu.models.modules import fuse_attention_qkv, tree_cast
 
     arch = dataclasses.replace(PRESETS["F5TTS_v1_Base"].arch, text_num_embeds=2545)
     params = tree_cast(dit.init_dit(jax.random.PRNGKey(0), arch), jnp.bfloat16)
+    params["blocks"]["attn"] = fuse_attention_qkv(params["blocks"]["attn"])
     statics = dit.DiTStatics(arch)
     voc = Vocos(init_vocos(jax.random.PRNGKey(1), VocosConfig()), VocosConfig())
 
