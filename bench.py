@@ -54,6 +54,12 @@ def main():
     # optional faster-than-reference serving mode (not the headline metric)
     import os
 
+    # serving-path param prep (infer/pipeline.py does the same at load time):
+    # merge q/k/v projections so the fused QKV+RoPE attention kernel engages
+    from f5tts_tpu.models.modules import fuse_attention_qkv
+
+    params["blocks"]["attn"] = fuse_attention_qkv(params["blocks"]["attn"])
+
     quant = os.environ.get("F5TTS_QUANT", "none")
     if quant == "int8":
         from f5tts_tpu.ops.quant import quantize_dit_params

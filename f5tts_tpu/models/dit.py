@@ -228,12 +228,21 @@ def dit_apply(
     rope = statics.rope_angles[:n]
     block_mods, final_mod = t_mods if t_mods is not None else (None, None)
 
+    # flat cos/sin tables for the fused QKV+RoPE kernel, built once per
+    # forward (the kernel path activates only for fused-QKV inference params)
+    rope_tabs = None
+    if backend == "pallas" and jax.default_backend() == "tpu":
+        from f5tts_tpu.ops.rope import rope_flat_tables
+
+        rope_tabs = rope_flat_tables(rope, n, arch.heads, arch.pe_attn_head,
+                                     dtype=x_embedded.dtype)
+
     def body(carry, scanned):
         blk_params, mods = scanned
         h = m.dit_block(
             blk_params, carry, t_emb, arch.heads, rope,
             lengths=lengths, pe_attn_head=arch.pe_attn_head, backend=backend,
-            mods=mods,
+            mods=mods, rope_tabs=rope_tabs,
         )
         return h, None
 

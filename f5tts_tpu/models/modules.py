@@ -24,7 +24,11 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from f5tts_tpu.ops.attention import attention as attention_op
+from f5tts_tpu.ops.attention import (
+    SINGLE_PASS_MAX_N,
+    attention as attention_op,
+    fused_qkv_rope_attention,
+)
 from f5tts_tpu.ops.rope import apply_rotary_flat, apply_rotary_partial_heads
 
 Params = dict  # nested dict pytree of jnp arrays
@@ -369,12 +373,31 @@ def self_attention(
     lengths: Optional[jax.Array] = None,  # [b] valid length; None = dense
     pe_attn_head: Optional[int] = None,
     backend: str = "pallas",
+    rope_tabs: Optional[tuple] = None,  # (cos [n,h*d], sin) flat rope tables
 ) -> jax.Array:
     b, n, _ = x.shape
     if "to_qkv" in p:
         # inference-fused projection (fuse_attention_qkv): one [d, 3*inner]
         # dot reads x from HBM once instead of three times
-        q, k, v = jnp.split(linear(p["to_qkv"], x), 3, axis=-1)
+        qkv = linear(p["to_qkv"], x)
+        inner = qkv.shape[-1] // 3
+        dh_ = inner // heads
+        if (rope_tabs is not None and "q_norm" not in p
+                and backend == "pallas" and jax.default_backend() == "tpu"
+                and inner % 128 == 0 and dh_ in (64, 128)
+                and n % 128 == 0 and n <= SINGLE_PASS_MAX_N):
+            # megakernel: RoPE + attention on the flat layout, no head-split
+            # transposes, no QKV lane split, output flat for to_out
+            o = fused_qkv_rope_attention(qkv, rope_tabs[0], rope_tabs[1],
+                                         lengths if lengths is not None
+                                         else jnp.full((b,), n, jnp.int32),
+                                         heads)
+            o = linear(p["to_out"], o)
+            if lengths is not None:
+                mask = jnp.arange(n)[None, :] < lengths[:, None]
+                o = jnp.where(mask[:, :, None], o, 0.0)
+            return o
+        q, k, v = jnp.split(qkv, 3, axis=-1)
     elif "w_i8" in p["to_q"]:
         # quantize the shared input once for all three projections
         from f5tts_tpu.ops.quant import int8_linear_pre, quantize_rows
@@ -442,6 +465,7 @@ def dit_block(
     pe_attn_head: Optional[int] = None,
     backend: str = "pallas",
     mods: Optional[jax.Array] = None,  # [b, 6*dim] precomputed modulation
+    rope_tabs: Optional[tuple] = None,  # flat rope tables for the fused kernel
 ) -> jax.Array:
     if mods is None:
         mods6 = adaln_modulation(p["attn_norm"], t_emb)
@@ -453,7 +477,8 @@ def dit_block(
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods6
     norm = adaln_pre(x, shift_msa, scale_msa)
     attn_out = self_attention(
-        p["attn"], norm, heads, rope_angles, lengths, pe_attn_head, backend
+        p["attn"], norm, heads, rope_angles, lengths, pe_attn_head, backend,
+        rope_tabs=rope_tabs,
     )
     x = x + gate_msa[:, None, :] * attn_out
 

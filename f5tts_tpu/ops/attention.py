@@ -415,6 +415,166 @@ def _flash_bwd(res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused QKV+RoPE attention megakernel (inference forward only)
+#
+# Consumes the fused QKV projection output [b, n, 3*h*d] DIRECTLY in its flat
+# layout: RoPE is applied in VMEM (k roped once per batch into scratch), heads
+# are processed as 128-lane pairs so every slice is tile-aligned, and the
+# output is written flat [b, n, h*d], ready for the to_out projection. This
+# replaces four separate HBM passes per attention (rope on q, rope on k, the
+# [b,n,h,d]->[b,h,n,d] head-split transposes, and the QKV lane split) that
+# together cost ~14% of sampler step time in device traces.
+#
+# The paired-head trick: with d=64, a [bq,64]x[64,n] score dot runs the MXU at
+# 50% (half-depth contraction). Packing two heads side by side into 128 lanes
+# and zeroing the other head's lanes in q gives the SAME cycle count (the
+# zeros occupy the otherwise-wasted half) but keeps all slices 128-aligned,
+# which Mosaic requires to avoid realignment copies.
+# ---------------------------------------------------------------------------
+
+def _fused_qkv_attn_kernel(len_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
+                           o_ref, krot_ref, qrot_ref, *,
+                           heads: int, sm_scale: float):
+    """One (batch, q-block) program; single KV pass per head (n <= 2048).
+
+    Refs: q_ref [1,bq,hd]; k_ref/v_ref [1,n,hd] (lane-sliced views of the
+    fused [b,n,3hd] projection output); cos_ref/sin_ref [n,hd] flat tables
+    (rope_flat_tables); o_ref [1,bq,hd]; krot_ref VMEM scratch [n,hd] holding
+    roped k, computed once per batch (qi is the inner, sequential grid dim).
+    """
+    qi = pl.program_id(1)
+    valid_len = len_ref[pl.program_id(0)]
+    n, hd = k_ref.shape[1], k_ref.shape[2]
+    bq = q_ref.shape[1]
+    d = hd // heads
+    lane_hd = jax.lax.broadcasted_iota(jnp.int32, (1, hd), 1)
+
+    def rope(xf, cs, sn):
+        # out[2i] = x[2i]c - x[2i+1]s; out[2i+1] = x[2i+1]c + x[2i]s.
+        # Lane rolls + parity select; wrap-around lanes land only on
+        # positions the select discards (same trick as apply_rotary_flat).
+        # pltpu.roll requires shift >= 0: roll by -1 == roll by hd-1.
+        rot = jnp.where(lane_hd % 2 == 0,
+                        -pltpu.roll(xf, hd - 1, 1),
+                        pltpu.roll(xf, 1, 1))
+        return xf * cs + rot * sn
+
+    @pl.when(qi == 0)
+    def _():
+        # rope k into scratch in row chunks; fori_loop (not Python unroll) so
+        # Mosaic reuses one chunk's worth of f32 temporaries on its stack
+        def chunk(c, _):
+            rows = pl.ds(c * bq, bq)
+            kf = k_ref[0, rows, :].astype(jnp.float32)
+            cs = cos_ref[rows, :].astype(jnp.float32)
+            sn = sin_ref[rows, :].astype(jnp.float32)
+            krot_ref[rows, :] = rope(kf, cs, sn).astype(krot_ref.dtype)
+            return 0
+        jax.lax.fori_loop(0, n // bq, chunk, 0)
+
+    q_live = qi * bq < valid_len
+
+    @pl.when(jnp.logical_not(q_live))
+    def _():
+        o_ref[0, :, :] = jnp.zeros((bq, hd), o_ref.dtype)
+
+    @pl.when(q_live)
+    def _():
+        rows = pl.ds(qi * bq, bq)
+        qf = q_ref[0, :, :].astype(jnp.float32)
+        cs = cos_ref[rows, :].astype(jnp.float32)
+        sn = sin_ref[rows, :].astype(jnp.float32)
+        qrot_ref[:, :] = (rope(qf, cs, sn) * sm_scale).astype(qrot_ref.dtype)
+
+        coln = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        bias = jnp.where(coln < valid_len, 0.0, NEG_INF)  # [1, n] f32
+        pair = max(d, 128)
+        lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, pair), 1)
+
+        # fori_loop (not Python unroll) over head pairs: one pair's worth of
+        # score temporaries on the Mosaic stack instead of heads/2 of them
+        # (unrolled, the kernel allocates ~23MB of stack and OOMs VMEM)
+        def pair_body(hp, _):
+            lanes = pl.ds(hp * pair, pair)
+            qp = qrot_ref[:, lanes]
+            kp = krot_ref[:, lanes]
+            vp = v_ref[0, :, lanes]
+            halves = [qp] if pair == d else [
+                jnp.where(lane_p < d, qp, 0).astype(qp.dtype),
+                jnp.where(lane_p >= d, qp, 0).astype(qp.dtype),
+            ]
+            pvs = []
+            for qh in halves:
+                s = jax.lax.dot_general(qh, kp, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s + bias
+                mx = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - mx)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(p.astype(vp.dtype), vp,
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                pvs.append(pv / jnp.where(l == 0.0, 1.0, l))
+            op = pvs[0] if pair == d else jnp.where(lane_p < d, pvs[0], pvs[1])
+            o_ref[0, :, lanes] = op.astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, hd // pair, pair_body, 0)
+
+
+def fused_qkv_rope_attention(
+    qkv: jax.Array,       # [b, n, 3*h*d] fused projection output (flat)
+    cos: jax.Array,       # [n, h*d] flat rope table (rope_flat_tables)
+    sin: jax.Array,       # [n, h*d]
+    lengths: jax.Array,   # [b] int32
+    heads: int,
+) -> jax.Array:
+    """Flat-layout attention with in-kernel RoPE; returns [b, n, h*d].
+
+    Inference forward only (no VJP) — reachable only via the fused-QKV
+    inference path. Requires n % block == 0, (h*d) % 128 == 0, d in {64,128},
+    n <= SINGLE_PASS_MAX_N (single KV pass; scores fit VMEM).
+    """
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    bq = _pick_block(n, (512, 256, 128))
+    sm_scale = 1.0 / math.sqrt(d)
+    grid = (b, n // bq)
+
+    return pl.pallas_call(
+        functools.partial(_fused_qkv_attn_kernel, heads=heads, sm_scale=sm_scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, hd), lambda bi, qi, lens: (bi, qi, 0)),
+                pl.BlockSpec((1, n, hd), lambda bi, qi, lens: (bi, 0, 1)),
+                pl.BlockSpec((1, n, hd), lambda bi, qi, lens: (bi, 0, 2)),
+                pl.BlockSpec((n, hd), lambda bi, qi, lens: (0, 0)),
+                pl.BlockSpec((n, hd), lambda bi, qi, lens: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, hd), lambda bi, qi, lens: (bi, qi, 0)),
+            scratch_shapes=[pltpu.VMEM((n, hd), qkv.dtype),
+                            pltpu.VMEM((bq, hd), qkv.dtype)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # full-sequence k/v/cos/sin blocks + roped-k scratch overflow the
+            # default 16MB scoped-vmem budget by a few hundred KB
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * n * n * max(d, 128),
+            bytes_accessed=(4 * b * n * hd + 2 * n * hd) * qkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths.astype(jnp.int32), qkv, qkv, qkv, cos, sin)
+
+
 def flash_attention_sharded(q, k, v, lengths, mesh=None,
                             dp_axis: str = "data", tp_axis: str = "model"):
     """Flash attention under shard_map: batch on dp_axis, heads on tp_axis.

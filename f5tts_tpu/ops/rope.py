@@ -49,6 +49,32 @@ def apply_rotary(x: jax.Array, angles: jax.Array, scale: float = 1.0) -> jax.Arr
     return out.astype(x.dtype)
 
 
+def rope_flat_tables(
+    angles: jax.Array,            # [>=n, d] interleaved-pair angle table
+    n: int,
+    heads: int,
+    pe_attn_head: int | None = None,
+    dtype=jnp.bfloat16,
+):
+    """cos/sin tables [n, heads*d] for flat-layout RoPE, tiled per head.
+
+    `pe_attn_head` (rotate only the first k heads; reference
+    modules.py:503-509) folds in as cos=1/sin=0 on unrotated heads. Used by
+    the fused QKV+RoPE attention kernel (ops/attention.py), which applies
+    the rotation in VMEM instead of as a separate HBM pass.
+    """
+    d = angles.shape[-1]
+    ang = angles[:n].astype(jnp.float32)
+    cos = jnp.tile(jnp.cos(ang), (1, heads))
+    sin = jnp.tile(jnp.sin(ang), (1, heads))
+    if pe_attn_head is not None:
+        lane = jnp.arange(heads * d)
+        rotated = lane < pe_attn_head * d
+        cos = jnp.where(rotated, cos, 1.0)
+        sin = jnp.where(rotated, sin, 0.0)
+    return cos.astype(dtype), sin.astype(dtype)
+
+
 def apply_rotary_flat(
     x: jax.Array,                 # [b, n, h*d] pre-head-split projection output
     angles: jax.Array,            # [>=n, d] interleaved-pair angle table

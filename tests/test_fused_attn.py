@@ -1,0 +1,81 @@
+"""Fused QKV+RoPE attention megakernel vs decomposed reference (interpret).
+
+The kernel consumes the fused QKV projection output [b, n, 3*h*d] flat,
+applies RoPE in VMEM, and writes flat [b, n, h*d]; the oracle is the
+decomposed chain: split -> apply_rotary_flat -> head split -> mha_reference
+-> merge.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from f5tts_tpu.models import modules as m
+from f5tts_tpu.ops.attention import fused_qkv_rope_attention, mha_reference
+from f5tts_tpu.ops.rope import (
+    apply_rotary_flat,
+    rope_flat_tables,
+    rope_freqs_interleaved,
+)
+
+
+def _oracle(qkv, angles, heads, lengths, pe_attn_head=None):
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qr = apply_rotary_flat(q, angles, heads, pe_attn_head)
+    kr = apply_rotary_flat(k, angles, heads, pe_attn_head)
+
+    def sh(t):
+        return t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+
+    o = mha_reference(sh(qr), sh(kr), sh(v), lengths)
+    return o.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
+@pytest.mark.parametrize("heads,d,pe", [(8, 64, None), (4, 128, None), (8, 64, 2)])
+def test_fused_kernel_matches_decomposed(heads, d, pe):
+    b, n = 2, 256
+    hd = heads * d
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3 * hd), jnp.float32)
+    angles = rope_freqs_interleaved(d, n)
+    cos, sin = rope_flat_tables(angles, n, heads, pe, dtype=jnp.float32)
+    lengths = jnp.array([n, 177], jnp.int32)
+    out = fused_qkv_rope_attention(qkv, cos, sin, lengths, heads)
+    ref = _oracle(qkv, angles, heads, lengths, pe)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_kernel_dead_q_blocks_zero():
+    # batch row with length < one q block: trailing q blocks write zeros
+    heads, d, b, n = 8, 64, 2, 256
+    hd = heads * d
+    qkv = jax.random.normal(jax.random.PRNGKey(1), (b, n, 3 * hd), jnp.float32)
+    angles = rope_freqs_interleaved(d, n)
+    cos, sin = rope_flat_tables(angles, n, heads, dtype=jnp.float32)
+    lengths = jnp.array([n, 64], jnp.int32)
+    out = np.asarray(fused_qkv_rope_attention(qkv, cos, sin, lengths, heads))
+    ref = np.asarray(_oracle(qkv, angles, heads, lengths))
+    # live rows match the reference everywhere it is well-defined
+    np.testing.assert_allclose(out[1, :64], ref[1, :64], atol=2e-5, rtol=2e-5)
+    assert np.all(np.isfinite(out))
+
+
+def test_self_attention_cpu_ignores_rope_tabs():
+    # the fused path is TPU-only: with rope_tabs supplied on CPU the result
+    # must equal the decomposed path exactly
+    b, n, dim, heads = 2, 128, 256, 4
+    p = m.tree_cast(m.fuse_attention_qkv(
+        m.init_attention(jax.random.PRNGKey(0), dim, heads, dim // heads)),
+        jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, n, dim), jnp.float32)
+    angles = rope_freqs_interleaved(dim // heads, n)
+    tabs = rope_flat_tables(angles, n, heads, dtype=jnp.float32)
+    lengths = jnp.array([n, 100], jnp.int32)
+    a = m.self_attention(p, x, heads, angles, lengths, None, "xla")
+    c = m.self_attention(p, x, heads, angles, lengths, None, "xla",
+                         rope_tabs=tabs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=0, rtol=0)
