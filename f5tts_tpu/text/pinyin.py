@@ -13,10 +13,16 @@ Behavioral parity with reference convert_char_to_pinyin
 
 G2P backends (in priority order):
 1. pypinyin (if installed) — exact reference behavior
-2. a user-supplied TSV dictionary (char<TAB>pinyin_tone3), e.g. derived from
-   Unihan kMandarin; set via `set_pinyin_dict(path)` or F5TTS_PINYIN_DICT
-3. none — Chinese characters pass through unchanged (still valid tokens if
-   the vocab contains them; pinyin vocab coverage then requires 1 or 2)
+2. the BUNDLED dictionary (text/data/pinyin_char_tone3.tsv: top-3000 chars by
+   corpus frequency, 98.5% coverage; pinyin_words_tone3.tsv: ~535 heteronym
+   and neutral-suffix words) + rule-based tone sandhi (不/一/third-tone,
+   mirroring pypinyin's tone_sandhi=True). A user TSV via
+   `set_pinyin_dict(path)` or F5TTS_PINYIN_DICT overrides bundled chars.
+   Every bundled reading is validated against the Emilia pinyin vocab.
+3. none — Chinese characters pass through unchanged
+
+Conventions match pypinyin Style.TONE3: neutral tone = bare syllable
+("de", not "de5"); u-umlaut = "v" (lv4).
 """
 
 from __future__ import annotations
@@ -27,7 +33,10 @@ from typing import Iterable, Optional
 
 _CUSTOM_TRANS = str.maketrans({";": ",", "“": '"', "”": '"', "‘": "'", "’": "'"})
 
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
 _pinyin_dict: Optional[dict[str, str]] = None
+_pinyin_words: Optional[dict[str, list[str]]] = None
 
 
 def is_chinese(c: str) -> bool:
@@ -36,15 +45,15 @@ def is_chinese(c: str) -> bool:
 
 
 def set_pinyin_dict(path: str) -> None:
-    """Load a char<TAB>pinyin(TONE3) dictionary for the fallback G2P backend."""
+    """Overlay a user char<TAB>pinyin(TONE3) TSV over the bundled table."""
     global _pinyin_dict
-    d: dict[str, str] = {}
+    _pinyin_dict = None
+    _ensure_dict()
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
             parts = line.rstrip("\n").split("\t")
             if len(parts) >= 2 and parts[0]:
-                d[parts[0]] = parts[1]
-    _pinyin_dict = d
+                _pinyin_dict[parts[0]] = parts[1]
 
 
 @lru_cache(maxsize=1)
@@ -58,11 +67,79 @@ def _pypinyin():
 
 
 def _ensure_dict():
-    global _pinyin_dict
+    global _pinyin_dict, _pinyin_words
     if _pinyin_dict is None:
+        d: dict[str, str] = {}
+        bundled = os.path.join(_DATA_DIR, "pinyin_char_tone3.tsv")
+        if os.path.exists(bundled):
+            with open(bundled, "r", encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 2 and parts[0]:
+                        d[parts[0]] = parts[1]
         path = os.environ.get("F5TTS_PINYIN_DICT")
         if path and os.path.exists(path):
-            set_pinyin_dict(path)
+            with open(path, "r", encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 2 and parts[0]:
+                        d[parts[0]] = parts[1]  # user entries override bundled
+        _pinyin_dict = d
+    if _pinyin_words is None:
+        w: dict[str, list[str]] = {}
+        bundled = os.path.join(_DATA_DIR, "pinyin_words_tone3.tsv")
+        if os.path.exists(bundled):
+            with open(bundled, "r", encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 2 and parts[0]:
+                        w[parts[0]] = parts[1].split(" ")
+        _pinyin_words = w
+
+
+def _pinyin_words_maxlen() -> int:
+    global _pinyin_words_max
+    try:
+        return _pinyin_words_max
+    except NameError:
+        _pinyin_words_max = max((len(w) for w in _pinyin_words), default=1)
+        return _pinyin_words_max
+
+
+def _tone(r: str) -> int:
+    """Trailing tone digit; neutral (bare syllable or raw char) counts as 5."""
+    return int(r[-1]) if r and r[-1].isdigit() else 5
+
+
+def _set_tone(r: str, t: int) -> str:
+    return (r[:-1] if r and r[-1].isdigit() else r) + str(t)
+
+
+def _apply_sandhi(chars: str, readings: list[str]) -> list[str]:
+    """不/一/third-tone sandhi within one word segment (pypinyin
+    tone_sandhi=True semantics, per segment like the reference's per-word
+    lazy_pinyin calls)."""
+    n = len(chars)
+    out = list(readings)
+    for i, c in enumerate(chars):
+        if c == "不":
+            if i + 1 < n and _tone(out[i + 1]) == 4:
+                out[i] = "bu2"
+        elif c == "一":
+            if 0 < i < n - 1 and chars[i - 1] == chars[i + 1]:
+                out[i] = "yi"  # reduplication (看一看) -> neutral
+            elif i > 0 and chars[i - 1] == "第":
+                pass  # ordinal 第一 keeps yi1
+            elif i + 1 < n:
+                t = _tone(out[i + 1])
+                if t == 4:
+                    out[i] = "yi2"
+                elif t in (1, 2, 3):
+                    out[i] = "yi4"
+    for i in range(n - 2, -1, -1):  # 3-3 -> 2-3, right to left
+        if _tone(out[i]) == 3 and _tone(out[i + 1]) == 3:
+            out[i] = _set_tone(out[i], 2)
+    return out
 
 
 def g2p(segment: str) -> list[str]:
@@ -72,9 +149,24 @@ def g2p(segment: str) -> list[str]:
         lazy_pinyin, Style = pp
         return lazy_pinyin(segment, style=Style.TONE3, tone_sandhi=True)
     _ensure_dict()
-    if _pinyin_dict is not None:
-        return [_pinyin_dict.get(c, c) for c in segment]
-    return list(segment)  # passthrough: no G2P backend available
+    if not _pinyin_dict:
+        return list(segment)  # passthrough: no G2P backend available
+    # greedy longest-match over the heteronym word table (compound segments
+    # like 处理结果 decompose into 处理 + per-char), then per-char defaults
+    readings: list[str] = []
+    i, n = 0, len(segment)
+    max_w = _pinyin_words_maxlen()
+    while i < n:
+        for ln in range(min(max_w, n - i), 1, -1):
+            w = segment[i:i + ln]
+            if w in _pinyin_words:
+                readings.extend(_pinyin_words[w])
+                i += ln
+                break
+        else:
+            readings.append(_pinyin_dict.get(segment[i], segment[i]))
+            i += 1
+    return _apply_sandhi(segment, readings)
 
 
 @lru_cache(maxsize=1)
