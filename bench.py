@@ -56,9 +56,9 @@ def main():
 
     # serving-path param prep (infer/pipeline.py does the same at load time):
     # merge q/k/v projections so the fused QKV+RoPE attention kernel engages
-    from f5tts_tpu.models.modules import fuse_attention_qkv
+    from f5tts_tpu.models.modules import fuse_backbone_qkv
 
-    params["blocks"]["attn"] = fuse_attention_qkv(params["blocks"]["attn"])
+    params = fuse_backbone_qkv(params)
 
     quant = os.environ.get("F5TTS_QUANT", "none")
     if quant == "int8":

@@ -57,6 +57,13 @@ def bench_sampler(
     arch = dataclasses.replace(mcfg.arch, text_num_embeds=2545)
     bd = BACKBONES[mcfg.backbone]
     params = bd.init(jax.random.PRNGKey(0), arch)
+    if dtype != jnp.float32:
+        from f5tts_tpu.models.modules import tree_cast
+
+        params = tree_cast(params, dtype)
+    from f5tts_tpu.models.modules import fuse_backbone_qkv
+
+    params = fuse_backbone_qkv(params)  # serving-path param prep
     statics = bd.statics_cls(arch)
     voc = Vocos(init_vocos(jax.random.PRNGKey(1), VocosConfig()), VocosConfig())
 

@@ -128,13 +128,9 @@ class InferencePipeline:
             from f5tts_tpu.models.modules import tree_cast
 
             self.params = tree_cast(self.params, self.dtype)
-        if "blocks" in self.params and "attn" in self.params["blocks"]:
-            from f5tts_tpu.models.modules import fuse_attention_qkv
+        from f5tts_tpu.models.modules import fuse_backbone_qkv
 
-            self.params = dict(self.params)
-            blocks = dict(self.params["blocks"])
-            blocks["attn"] = fuse_attention_qkv(blocks["attn"])
-            self.params["blocks"] = blocks
+        self.params = fuse_backbone_qkv(self.params)
         if self.quantization == "int8":
             from f5tts_tpu.ops.quant import quantize_dit_params
 

@@ -505,6 +505,19 @@ def fuse_attention_qkv(attn: Params) -> Params:
     return out
 
 
+def fuse_backbone_qkv(params: Params) -> Params:
+    """Apply fuse_attention_qkv to every attention stack a backbone carries
+    (DiT: "blocks"; UNetT: "first_half"/"second_half"). Inference-only param
+    prep shared by the pipeline, bench.py and rtf_bench."""
+    out = dict(params)
+    for stack in ("blocks", "first_half", "second_half"):
+        if stack in out and isinstance(out[stack], dict) and "attn" in out[stack]:
+            grp = dict(out[stack])
+            grp["attn"] = fuse_attention_qkv(grp["attn"])
+            out[stack] = grp
+    return out
+
+
 def tree_cast(params: Any, dtype) -> Any:
     return jax.tree.map(lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
 

@@ -75,14 +75,15 @@ class UNetTStatics:
 
 
 def _block(blk, x, heads, rope, lengths, pe_attn_head, backend, skip=None,
-           skip_type="concat"):
+           skip_type="concat", rope_tabs=None):
     if skip is not None:
         if skip_type == "concat":
             x = m.linear(blk["skip_proj"], jnp.concatenate([x, skip], axis=-1))
         elif skip_type == "add":
             x = x + skip
     h = m.rms_norm(blk["attn_norm"], x, eps=1e-8)
-    x = m.self_attention(blk["attn"], h, heads, rope, lengths, pe_attn_head, backend) + x
+    x = m.self_attention(blk["attn"], h, heads, rope, lengths, pe_attn_head,
+                         backend, rope_tabs=rope_tabs) + x
     h = m.rms_norm(blk["ff_norm"], x, eps=1e-8)
     x = m.feed_forward(blk["ff"], h) + x
     return x
@@ -137,14 +138,28 @@ def unett_forward(
         h = input_embedding(params["input_embed"], x, cond, te,
                             drop_audio_cond=drop_audio_cond)
 
-    # prepend time token (unett.py:271-274)
+    # prepend time token (unett.py:271-274). The +1 row breaks the Pallas
+    # kernels' 128-alignment, which silently forced the XLA attention path
+    # (full [b,h,n,n] scores in HBM) — pad up to the next 128 multiple and
+    # mask the pad rows via lengths instead. Live-row outputs are identical
+    # (pad keys are masked out of every softmax).
     h = jnp.concatenate([t_emb[:, None, :], h], axis=1)  # [b', n+1, dim]
-    lengths_tok = lengths + 1 if lengths is not None else None
-    rope = statics.rope_angles[: n + 1]
+    lengths_tok = (lengths + 1 if lengths is not None
+                   else jnp.full((h.shape[0],), n + 1, jnp.int32))
+    n_pad = ((n + 1 + 127) // 128) * 128
+    h = jnp.pad(h, ((0, 0), (0, n_pad - n - 1), (0, 0)))
+    rope = statics.rope_angles[:n_pad]
+
+    rope_tabs = None
+    if backend == "pallas" and jax.default_backend() == "tpu":
+        from f5tts_tpu.ops.rope import rope_flat_tables
+
+        rope_tabs = rope_flat_tables(rope, n_pad, arch.heads,
+                                     arch.pe_attn_head, dtype=h.dtype)
 
     def first_body(carry, blk):
         out = _block(blk, carry, arch.heads, rope, lengths_tok,
-                     arch.pe_attn_head, backend)
+                     arch.pe_attn_head, backend, rope_tabs=rope_tabs)
         return out, carry  # push pre-block state as the skip (reference pushes x)
 
     # unrolled scans: rolled iteration copies each layer's weights out of the
@@ -160,11 +175,13 @@ def unett_forward(
         blk, skip = inputs
         out = _block(blk, carry, arch.heads, rope, lengths_tok,
                      arch.pe_attn_head, backend,
-                     skip=skip, skip_type=arch.skip_connect_type)
+                     skip=skip, skip_type=arch.skip_connect_type,
+                     rope_tabs=rope_tabs)
         return out, None
 
     h, _ = jax.lax.scan(second_body, h, (params["second_half"], skips),
                         unroll=unroll)
 
-    h = m.rms_norm(params["norm_out"], h, eps=1e-8)[:, 1:, :]  # strip time token
+    # strip time token + alignment padding
+    h = m.rms_norm(params["norm_out"], h, eps=1e-8)[:, 1:n + 1, :]
     return m.linear(params["proj_out"], h).astype(jnp.float32)
