@@ -153,15 +153,76 @@ class InferencePipeline:
 
         self._fused_generate = jax.jit(_fused)
 
+        # serving hot path: EVERYTHING in one dispatch, int16 at the wire.
+        # The dev-tunnel transfer bandwidth dominates serving latency
+        # (~40 ms for a f32 ref-mel round trip alone); fusing wav->mel->
+        # cond->sampler->vocoder keeps all f32 intermediates on device and
+        # moves ~0.8 MB/request instead of ~2.5 MB across three dispatches.
+        import functools as _ft
+
+        def _serve(params, wav_i16, up_scale, down_scale, ref_lens, text,
+                   totals, t_grid, cfg_strength, key, *, n_bucket):
+            wav = wav_i16.astype(jnp.float32) / 32767.0 * up_scale[:, None]
+            mel = self.mel.frames_to_mel_bnd(wav)          # [b, wf, n_mels]
+            b, wf, nm = mel.shape
+            if wf < n_bucket:
+                mel = jnp.pad(mel, ((0, 0), (0, n_bucket - wf), (0, 0)))
+            else:
+                mel = mel[:, :n_bucket]
+            row = jnp.arange(n_bucket)[None, :]
+            cond = jnp.where((row < ref_lens[:, None])[:, :, None], mel, 0.0)
+            out = cfm.cfm_sample(
+                params, self.statics, cond, text, ref_lens, totals, t_grid,
+                key=key, cfg_strength=cfg_strength,
+                dtype=self.dtype, backend=self.backend,
+                noise_max_len=self.sampling.max_duration,
+            )
+            waves = self.vocoder(jnp.transpose(out, (0, 2, 1)))
+            waves = waves * down_scale[:, None]
+            return jnp.clip(waves * 32767.0, -32767, 32767).astype(jnp.int16)
+
+        self._fused_serve = jax.jit(_ft.partial(_serve),
+                                    static_argnames=("n_bucket",))
+
     # -- host-side text prep ------------------------------------------------
+
+    def ref_mel(self, wav: np.ndarray) -> np.ndarray:
+        """ref wav -> mel [t, n_mels], with the wav padded to a 128-frame
+        bucket first: every distinct ref-audio length is otherwise a new jit
+        shape for the mel front end (one remote compile per caller-supplied
+        clip length in a serving sweep). Frames past the true clip length
+        are sliced off (the last 1-2 kept frames see zero-pad instead of the
+        clip-edge reflect pad — inaudible prompt-tail difference)."""
+        # frame count of the UNPADDED clip (vocos stft is center=True:
+        # len//hop + 1; bigvgan uses (n_fft-hop)/2 symmetric pad: len//hop)
+        true_frames = len(wav) // self.hop
+        if self.mel_cfg.mel_spec_type == "vocos":
+            true_frames += 1
+        bucket_samples = max(
+            ((len(wav) + 128 * self.hop - 1) // (128 * self.hop)) * 128 * self.hop,
+            128 * self.hop)
+        if bucket_samples > len(wav):
+            wav = np.pad(wav, (0, bucket_samples - len(wav)))
+        mel = np.asarray(self.mel.frames_to_mel_bnd(jnp.asarray(wav[None])))[0]
+        return mel[:true_frames]
 
     def tokenize(self, texts: list[str]) -> np.ndarray:
         if self.tokenizer == "pinyin":
             token_lists = convert_char_to_pinyin(texts)
-            return list_str_to_idx(token_lists, self.vocab_char_map)
-        if self.tokenizer == "char":
-            return list_str_to_idx(texts, self.vocab_char_map)
-        return list_str_to_tensor(texts)
+            ids = list_str_to_idx(token_lists, self.vocab_char_map)
+        elif self.tokenizer == "char":
+            ids = list_str_to_idx(texts, self.vocab_char_map)
+        else:
+            ids = list_str_to_tensor(texts)
+        # pad the token axis to a compile bucket: without this every distinct
+        # text length is a NEW jit shape — a serving sweep of distinct texts
+        # triggers a remote compile per request (minutes each on a cold pod)
+        nt = int(np.asarray(ids).shape[1])
+        nt_bucket = max(((nt + 63) // 64) * 64, 64)
+        if nt_bucket > nt:
+            ids = np.pad(np.asarray(ids), ((0, 0), (0, nt_bucket - nt)),
+                         constant_values=-1)
+        return ids
 
     # -- core single-chunk generation --------------------------------------
 
@@ -189,7 +250,7 @@ class InferencePipeline:
         if ref_rms < s.target_rms and ref_rms > 0:
             ref_wav = ref_wav * (s.target_rms / ref_rms)
 
-        ref_mel = np.asarray(self.mel.frames_to_mel_bnd(jnp.asarray(ref_wav[None, :])))[0]
+        ref_mel = self.ref_mel(ref_wav)
         ref_frames = ref_mel.shape[0]
 
         total_frames = estimate_duration_frames(
@@ -235,6 +296,18 @@ class InferencePipeline:
         cfg_strength: Optional[float] = None,
         sway_sampling_coef="default",
     ) -> list[np.ndarray]:
+        """Batched multi-request generation: dispatch + blocking fetch."""
+        return self.finalize_batch(self.generate_batch_async(
+            requests, seed, nfe_step, cfg_strength, sway_sampling_coef))
+
+    def generate_batch_async(
+        self,
+        requests: list[dict],
+        seed: int = 0,
+        nfe_step: Optional[int] = None,
+        cfg_strength: Optional[float] = None,
+        sway_sampling_coef="default",
+    ):
         """Batched multi-request generation (the serving hot path).
 
         requests: [{"ref_wav": [n] @ target sr, "ref_text": str, "gen_text":
@@ -249,50 +322,62 @@ class InferencePipeline:
         sway = s.sway_sampling_coef if sway_sampling_coef == "default" else sway_sampling_coef
 
         b = len(requests)
-        ref_mels, ref_lens, totals, texts, rms_vals = [], [], [], [], []
-        for r in requests:
+        ref_lens, totals, texts = [], [], []
+        up_scale = np.ones((b,), np.float32)
+        down_scale = np.ones((b,), np.float32)
+        wav_lens = []
+        for i, r in enumerate(requests):
             wav = r["ref_wav"]
             rms_v = audio_io.rms(wav)
             if 0 < rms_v < s.target_rms:
-                wav = wav * (s.target_rms / rms_v)
-            rms_vals.append(rms_v)
-            mel = np.asarray(self.mel.frames_to_mel_bnd(jnp.asarray(wav[None])))[0]
-            ref_mels.append(mel)
-            ref_lens.append(mel.shape[0])
+                up_scale[i] = s.target_rms / rms_v
+                down_scale[i] = rms_v / s.target_rms
+            wav_lens.append(len(wav))
+            # frame count the unpadded clip would produce (vocos center=True
+            # stft: len//hop + 1; bigvgan: len//hop)
+            t = len(wav) // self.hop
+            if self.mel_cfg.mel_spec_type == "vocos":
+                t += 1
+            ref_lens.append(t)
             totals.append(estimate_duration_frames(
-                mel.shape[0], r["ref_text"], r["gen_text"],
+                t, r["ref_text"], r["gen_text"],
                 r.get("speed") or s.speed, r.get("fix_duration"),
                 self.sr, self.hop))
             texts.append(r["ref_text"] + r["gen_text"])
+
+        # one int16 wav panel, padded to a shared 128-frame bucket
+        wav_bucket = max(((max(wav_lens) + 128 * self.hop - 1)
+                          // (128 * self.hop)) * 128 * self.hop, 128 * self.hop)
+        wav_i16 = np.zeros((b, wav_bucket), np.int16)
+        for i, r in enumerate(requests):
+            w = np.clip(r["ref_wav"], -1.0, 1.0)
+            wav_i16[i, :wav_lens[i]] = (w * 32767.0).astype(np.int16)
 
         text_ids = self.tokenize(texts)
         totals = np.asarray(cfm.compute_duration(
             jnp.full((b,), text_ids.shape[1]), jnp.asarray(ref_lens),
             jnp.asarray(totals), s.max_duration))
         n_bucket = duration_bucket(int(totals.max()), self.bucket_size, s.max_duration)
-        cond = np.zeros((b, n_bucket, self.mel_cfg.n_mel_channels), np.float32)
-        for i, mel in enumerate(ref_mels):
-            t = min(mel.shape[0], n_bucket)
-            cond[i, :t] = mel[:t]
 
         t_grid = make_time_grid(nfe, sway_sampling_coef=sway, use_epss=s.use_epss)
-        out = cfm.cfm_sample(
-            self.params, self.statics, jnp.asarray(cond), jnp.asarray(text_ids),
-            jnp.asarray(ref_lens, jnp.int32),
+        handle = self._fused_serve(
+            self.params, jnp.asarray(wav_i16), jnp.asarray(up_scale),
+            jnp.asarray(down_scale), jnp.asarray(ref_lens, jnp.int32),
+            jnp.asarray(text_ids),
             jnp.asarray(np.minimum(totals, n_bucket), jnp.int32), t_grid,
-            key=jax.random.PRNGKey(seed), cfg_strength=cfg_v,
-            dtype=self.dtype, backend=self.backend,
-        )
-        waves_all = np.asarray(self.vocoder(jnp.transpose(out, (0, 2, 1))))
+            jnp.float32(cfg_v), jax.random.PRNGKey(seed), n_bucket=n_bucket)
+        return handle, (ref_lens, totals, n_bucket)
+
+    def finalize_batch(self, pending) -> list[np.ndarray]:
+        """Fetch + slice the result of a generate_batch_async dispatch."""
+        handle, (ref_lens, totals, n_bucket) = pending
+        waves_all = np.asarray(handle)
         results = []
-        for i in range(b):
+        for i in range(len(ref_lens)):
             lo = ref_lens[i] * self.hop
             hi = min(int(totals[i]), n_bucket) * self.hop
             hi = min(hi, waves_all.shape[1])
-            w = waves_all[i, lo:hi]
-            if 0 < rms_vals[i] < s.target_rms:
-                w = w * (rms_vals[i] / s.target_rms)
-            results.append(w.astype(np.float32))
+            results.append(waves_all[i, lo:hi].astype(np.float32) / 32767.0)
         return results
 
     # -- multi-chunk --------------------------------------------------------

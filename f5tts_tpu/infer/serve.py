@@ -50,9 +50,16 @@ class DynamicBatcher:
         self.max_batch_size = max_batch_size
         self.max_queue_delay_s = max_queue_delay_s
         self.q: "queue.Queue[_Request]" = queue.Queue()
+        # two-stage pipeline: the dispatch loop issues the NEXT batch's
+        # device call while the finalizer thread blocks on the previous
+        # one's result fetch — the host->device round trip (~80 ms over the
+        # dev tunnel) overlaps device compute instead of serializing with it
+        self._pending: "queue.Queue[tuple]" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
+        self._finalizer = threading.Thread(target=self._finalize_loop, daemon=True)
+        self._finalizer.start()
 
     def submit(self, payload: dict, timeout: float = 120.0) -> np.ndarray:
         req = _Request(payload)
@@ -66,6 +73,7 @@ class DynamicBatcher:
     def close(self):
         self._stop.set()
         self.thread.join(timeout=5)
+        self._finalizer.join(timeout=5)
 
     def _loop(self):
         while not self._stop.is_set():
@@ -87,14 +95,29 @@ class DynamicBatcher:
 
     def _run(self, batch: list[_Request]):
         try:
-            waves = self.pipeline.generate_batch([r.payload for r in batch])
-            for r, w in zip(batch, waves):
-                r.result = w
-                r.done.set()
+            pending = self.pipeline.generate_batch_async(
+                [r.payload for r in batch])
+            self._pending.put((batch, pending))  # finalizer fetches + replies
         except Exception as e:  # propagate per-request
             for r in batch:
                 r.error = f"{type(e).__name__}: {e}"
                 r.done.set()
+
+    def _finalize_loop(self):
+        while not (self._stop.is_set() and self._pending.empty()):
+            try:
+                batch, pending = self._pending.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                waves = self.pipeline.finalize_batch(pending)
+                for r, w in zip(batch, waves):
+                    r.result = w
+                    r.done.set()
+            except Exception as e:
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+                    r.done.set()
 
 
 def _wav_bytes(wave: np.ndarray, sr: int) -> bytes:

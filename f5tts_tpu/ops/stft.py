@@ -116,17 +116,25 @@ import functools as _functools
 
 @_functools.lru_cache(maxsize=8)
 def _rdft_matrices(n_fft: int):
-    """(cos [n_fft, F], sin [n_fft, F]) with F = n_fft//2+1 for forward rDFT."""
+    """(cos [n_fft, F], sin [n_fft, F]) with F = n_fft//2+1 for forward rDFT.
+
+    Returns NUMPY arrays — see the _irdft_matrices note (cached jnp values
+    become stale tracers across jit traces)."""
     k = np.arange(n_fft // 2 + 1)
     n = np.arange(n_fft)
     ang = 2.0 * np.pi * np.outer(n, k) / n_fft
-    return (jnp.asarray(np.cos(ang), jnp.float32),
-            jnp.asarray(-np.sin(ang), jnp.float32))
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
 @_functools.lru_cache(maxsize=8)
 def _irdft_matrices(n_fft: int):
-    """(Cr [F, n_fft], Ci [F, n_fft]): time = Re @ Cr + Im @ Ci (exact irfft)."""
+    """(Cr [F, n_fft], Ci [F, n_fft]): time = Re @ Cr + Im @ Ci (exact irfft).
+
+    NOTE: returns NUMPY arrays on purpose. Returning jnp arrays from an
+    lru_cache is a trace-leak bomb: the first call under jit memoizes values
+    staged into THAT trace, and every later trace (a second serving compile
+    bucket) dies with UnexpectedTracerError. numpy constants are embedded
+    per-compile instead."""
     f = n_fft // 2 + 1
     k = np.arange(f)
     n = np.arange(n_fft)
@@ -138,7 +146,7 @@ def _irdft_matrices(n_fft: int):
     ci = -np.sin(ang) * scale
     ci[0] = 0.0
     ci[-1] = 0.0
-    return jnp.asarray(cr, jnp.float32), jnp.asarray(ci, jnp.float32)
+    return cr.astype(np.float32), ci.astype(np.float32)
 
 
 def rdft_magnitude(frames: jax.Array, n_fft: int) -> jax.Array:

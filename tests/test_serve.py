@@ -50,13 +50,13 @@ def test_generate_batch_shapes():
 def test_dynamic_batcher_groups_requests():
     pipe = _pipeline()
     calls = []
-    orig = pipe.generate_batch
+    orig = pipe.generate_batch_async
 
     def spy(reqs, **kw):
         calls.append(len(reqs))
         return orig(reqs, **kw)
 
-    pipe.generate_batch = spy
+    pipe.generate_batch_async = spy
     batcher = DynamicBatcher(pipe, max_batch_size=4, max_queue_delay_s=0.5)
     try:
         results = [None] * 3
@@ -81,12 +81,31 @@ def test_dynamic_batcher_propagates_errors():
     def boom(reqs, **kw):
         raise ValueError("bad batch")
 
-    pipe.generate_batch = boom
+    pipe.generate_batch_async = boom
     batcher = DynamicBatcher(pipe, max_batch_size=2, max_queue_delay_s=0.01)
     try:
         import pytest
 
         with pytest.raises(RuntimeError, match="bad batch"):
             batcher.submit(_req(0), timeout=10)
+    finally:
+        batcher.close()
+
+
+def test_dynamic_batcher_propagates_finalize_errors():
+    # errors in the result-fetch stage (finalizer thread) must also reach
+    # the waiting client, not hang it
+    pipe = _pipeline()
+
+    def boom(pending):
+        raise ValueError("bad fetch")
+
+    pipe.finalize_batch = boom
+    batcher = DynamicBatcher(pipe, max_batch_size=2, max_queue_delay_s=0.01)
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="bad fetch"):
+            batcher.submit(_req(0), timeout=30)
     finally:
         batcher.close()

@@ -125,3 +125,24 @@ def test_mel_frontend_matches_torch_vocos_pipeline():
     fb = torch.from_numpy(np.asarray(fe.fb))
     mel_t = torch.log(torch.clamp(fb @ spec_t, min=1e-5)).numpy()
     np.testing.assert_allclose(mel_j, mel_t, atol=2e-2, rtol=1e-2)
+
+
+def test_dft_matrix_cache_survives_multiple_traces():
+    # regression: the lru-cached DFT matrices once memoized jnp values staged
+    # into the FIRST jit trace; any later trace at a new shape crashed with
+    # UnexpectedTracerError (second serving compile bucket)
+    import jax
+    import jax.numpy as jnp
+    from f5tts_tpu.ops.stft import istft_center
+
+    def run(n_frames):
+        f = 1024 // 2 + 1
+        real = jnp.ones((1, n_frames, f), jnp.float32) * 0.01
+        imag = jnp.zeros((1, n_frames, f), jnp.float32)
+        win = hann_window(1024)
+        out = jax.jit(lambda r, i: istft_center(
+            r, i, win, n_fft=1024, hop=256))(real, imag)
+        return out.shape
+
+    run(8)
+    run(16)  # second distinct-shape trace must not raise
