@@ -254,7 +254,9 @@ def dit_apply(
         residual = x
     # unroll so the per-layer parameter slices become static reads — the
     # rolled scan copies each layer's weights out of the stacked arrays every
-    # iteration (~15% of step time in device traces)
+    # iteration (~15% of INFERENCE step time in device traces). Under remat
+    # training the rolled scan measures the same as full unroll (287 vs 293
+    # ms/step at b=8 n=1024) with 4x faster compiles, so keep it rolled.
     unroll = 1 if (checkpoint_blocks or arch.checkpoint_activations) else arch.depth
     x, _ = jax.lax.scan(body, x, (params["blocks"], block_mods), unroll=unroll)
     if arch.long_skip_connection:

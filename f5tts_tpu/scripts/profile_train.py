@@ -1,0 +1,121 @@
+"""Capture + summarize a device trace of one training step.
+
+Runs F5TTS_v1_Base cfm_loss + AdamW at b=8, n=1024, bf16 compute, remat on
+(the recorded 518 ms/step config) under jax.profiler and prints device time
+grouped by SOURCE LINE — the per-op view of where a training step goes.
+
+Usage: python -m f5tts_tpu.scripts.profile_train [--batch 8] [--frames 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import dataclasses
+import glob
+import gzip
+import json
+import os
+
+
+def run_workload(logdir: str, batch: int, frames: int, steps: int = 3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from f5tts_tpu.config import PRESETS
+    from f5tts_tpu.models import dit
+    from f5tts_tpu.train.step import init_train_state, make_optimizer, make_train_step
+
+    arch = dataclasses.replace(PRESETS["F5TTS_v1_Base"].arch,
+                               text_num_embeds=2545,
+                               checkpoint_activations=True)
+    params = dit.init_dit(jax.random.PRNGKey(0), arch)
+    statics = dit.DiTStatics(arch)
+    tx = make_optimizer(learning_rate=7.5e-5, warmup_updates=1000,
+                        total_updates=10000)
+    state = init_train_state(params, tx)
+    step_fn = jax.jit(make_train_step(statics, tx))
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((batch, frames, 100)) * 0.3, jnp.float32)
+    text = jnp.asarray(rng.integers(1, 2545, (batch, 256)), jnp.int32)
+    lens = jnp.asarray(rng.integers(frames // 2, frames + 1, (batch,)), jnp.int32)
+
+    state, m = step_fn(state, jax.random.PRNGKey(0), mel, text, lens)
+    float(m["loss"])  # compile + hard sync
+
+    jax.profiler.start_trace(logdir)
+    metrics = []
+    for i in range(1, steps + 1):
+        mel_i = mel * (1.0 + 0.01 * i)  # varied inputs (tunnel memoization)
+        state, m = step_fn(state, jax.random.PRNGKey(i), mel_i, text, lens)
+        metrics.append(m["loss"])
+    total = sum(float(v) for v in metrics)
+    jax.profiler.stop_trace()
+    assert np.isfinite(total)
+    return steps
+
+
+def summarize_by_source(logdir: str, steps: int, top: int = 25):
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
+    if not paths:
+        raise SystemExit(f"no trace.json.gz under {logdir}")
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+
+    # keep LEAF events only: umbrella rows (jit_*, while bodies, scan loops)
+    # contain their children and double-count — a parent is any event that
+    # strictly encloses another event on the same (pid, tid) track
+    by_track = collections.defaultdict(list)
+    for e in trace["traceEvents"]:
+        if e.get("ph") != "X":
+            continue
+        a = e.get("args") or {}
+        if a.get("device_duration_ps") is None:
+            continue
+        by_track[(e.get("pid"), e.get("tid"))].append(e)
+
+    agg = collections.defaultdict(lambda: [0.0, 0])
+    for track in by_track.values():
+        track.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (end_ts, event); children mark parents non-leaf
+        leaf_flags = {}
+        for e in track:
+            ts, dur = e["ts"], e.get("dur", 0)
+            while stack and stack[-1][0] <= ts:
+                stack.pop()
+            if stack:
+                leaf_flags[id(stack[-1][1])] = False  # has a child
+            leaf_flags.setdefault(id(e), True)
+            stack.append((ts + dur, e))
+        for e in track:
+            if not leaf_flags.get(id(e), True):
+                continue
+            a = e.get("args") or {}
+            key = a.get("source", "") or e["name"].split(".")[0]
+            agg[key][0] += int(a["device_duration_ps"]) / 1e9  # ms
+            agg[key][1] += 1
+
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
+    total = sum(v[0] for v in agg.values())
+    print(f"trace: {path}")
+    print(f"total (leaf ops): {total/steps:.1f} ms/step over {steps} steps")
+    for k, (ms, n) in rows[:top]:
+        print(f"{ms/steps:9.3f} ms/step {100*ms/total:5.1f}%  n={n:6d}  {k}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--logdir", default="/tmp/jax-trace-train")
+    args = ap.parse_args(argv)
+    steps = run_workload(args.logdir, args.batch, args.frames)
+    summarize_by_source(args.logdir, steps, args.top)
+
+
+if __name__ == "__main__":
+    main()
