@@ -42,6 +42,7 @@ def bench_sampler(
     runs: int = 5,
     dtype=None,
     backend: str = None,
+    quantization: str = "none",
 ) -> dict:
     from f5tts_tpu.config import PRESETS
     from f5tts_tpu.models import cfm
@@ -64,6 +65,10 @@ def bench_sampler(
     from f5tts_tpu.models.modules import fuse_backbone_qkv
 
     params = fuse_backbone_qkv(params)  # serving-path param prep
+    if quantization == "int8":
+        from f5tts_tpu.ops.quant import quantize_dit_params
+
+        params = quantize_dit_params(params)
     statics = bd.statics_cls(arch)
     voc = Vocos(init_vocos(jax.random.PRNGKey(1), VocosConfig()), VocosConfig())
 
@@ -119,6 +124,7 @@ def bench_sampler(
         "audio_seconds_per_s": audio_s / total,
         "latency": percentile_stats(total_times),
         "backend": backend,
+        "quantization": quantization,
         "device": str(jax.devices()[0]),
     }
 
@@ -130,10 +136,12 @@ def main(argv=None):
     p.add_argument("--seq_frames", type=int, default=1024)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--runs", type=int, default=5)
+    p.add_argument("--quantization", default="none", choices=["none", "int8"])
     p.add_argument("--output", default="rtf.txt")
     args = p.parse_args(argv)
     stats = bench_sampler(args.model, args.nfe, args.seq_frames,
-                          batch=args.batch, runs=args.runs)
+                          batch=args.batch, runs=args.runs,
+                          quantization=args.quantization)
     line = json.dumps(stats)
     print(line)
     with open(args.output, "a") as f:

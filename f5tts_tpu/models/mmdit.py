@@ -118,7 +118,8 @@ def _joint_attention(p, x, c, heads, rope_audio, rope_text, audio_kmask, text_km
     """modules.py:581-705: concat streams, attend, split."""
     b, n, _ = x.shape
     nt = c.shape[1]
-    dh = p["to_q"]["w"].shape[1] // heads
+    wq = p["to_q"]["w"] if "w" in p["to_q"] else p["to_q"]["w_i8"]
+    dh = wq.shape[1] // heads
 
     def heads_split(t):
         return t.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)

@@ -496,6 +496,8 @@ def fuse_attention_qkv(attn: Params) -> Params:
     scales concatenate exactly."""
     if "to_qkv" in attn or "to_q" not in attn:
         return attn
+    if "to_q_c" in attn:  # MMDiT joint attention consumes to_q/k/v directly
+        return attn
     out = {k: v for k, v in attn.items() if k not in ("to_q", "to_k", "to_v")}
     parts = [attn["to_q"], attn["to_k"], attn["to_v"]]
     fused = {"w": jnp.concatenate([p["w"] for p in parts], axis=-1)}

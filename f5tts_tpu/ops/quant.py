@@ -72,21 +72,27 @@ def int8_linear(p: Params, x: jax.Array) -> jax.Array:
 _QUANT_LEAVES = (
     ("attn", "to_qkv"),  # inference-fused (modules.fuse_attention_qkv)
     ("attn", "to_q"), ("attn", "to_k"), ("attn", "to_v"), ("attn", "to_out"),
+    # MMDiT joint attention (context stream) — dispatched via modules.linear
+    ("attn", "to_q_c"), ("attn", "to_k_c"), ("attn", "to_v_c"), ("attn", "to_out_c"),
     ("ff", "in"), ("ff", "out"),
+    # MMDiT dual-stream FFNs
+    ("ff_x", "in"), ("ff_x", "out"), ("ff_c", "in"), ("ff_c", "out"),
 )
+
+# every block stack any backbone carries: DiT/MMDiT "blocks" (+ MMDiT's
+# unstacked "last_block"), UNetT "first_half"/"second_half"
+_BLOCK_STACKS = ("blocks", "first_half", "second_half", "last_block")
 
 
 def quantize_dit_params(params: Params) -> Params:
     """Rewrite the big per-token projections of every block to int8.
 
-    Works on both stacked ([depth, k, n]) and unstacked block param trees;
-    all other leaves (embeddings, AdaLN modulations, convs, norms, proj_out)
-    stay in their original dtype — they are <5% of the matmul FLOPs.
+    Works on DiT, UNetT (first_half/second_half) and MMDiT (blocks +
+    last_block) param trees, stacked ([depth, k, n]) or unstacked; all other
+    leaves (embeddings, AdaLN modulations, convs, norms, proj_out) stay in
+    their original dtype — they are <5% of the matmul FLOPs.
     """
     params = jax.tree.map(lambda a: a, params)  # rebuild containers, share leaves
-    blocks = params.get("blocks")
-    if blocks is None:
-        return params
 
     def quantize_leaf(d: Params) -> Params:
         w_i8, scale = quantize_weight(d["w"])
@@ -100,9 +106,13 @@ def quantize_dit_params(params: Params) -> Params:
             if mod in tree and name in tree[mod] and "w" in tree[mod][name]:
                 tree[mod][name] = quantize_leaf(tree[mod][name])
 
-    if isinstance(blocks, (list, tuple)):
-        for blk in blocks:
-            walk(blk)
-    else:
-        walk(blocks)
+    for stack in _BLOCK_STACKS:
+        blocks = params.get(stack)
+        if blocks is None:
+            continue
+        if isinstance(blocks, (list, tuple)):
+            for blk in blocks:
+                walk(blk)
+        else:
+            walk(blocks)
     return params

@@ -89,3 +89,63 @@ def test_pipeline_int8_end_to_end():
     ref_wav = (rng.standard_normal(24000) * 0.05).astype(np.float32)
     wave, sr, mel = pipe.infer(ref_wav, 24000, "a reference.", "hello", seed=0, nfe_step=2)
     assert np.isfinite(wave).all() and len(wave) > 1000
+
+def test_quantize_unett_params_and_forward():
+    """int8 covers UNetT's first_half/second_half stacks (E2TTS serving)."""
+    from f5tts_tpu.models import unett
+
+    arch = ModelArch(dim=64, depth=4, heads=2, dim_head=32, ff_mult=2,
+                     mel_dim=16, text_num_embeds=30, text_dim=32,
+                     conv_layers=1, text_mask_padding=True,
+                     skip_connect_type="concat")
+    params = unett.init_unett(jax.random.PRNGKey(0), arch)
+    from f5tts_tpu.models.modules import fuse_backbone_qkv
+
+    fused = fuse_backbone_qkv(params)
+    qparams = quant.quantize_dit_params(fused)
+    assert "w_i8" in qparams["first_half"]["attn"]["to_qkv"]
+    assert "w_i8" in qparams["second_half"]["ff"]["in"]
+    assert "w" in qparams["proj_out"]  # untouched
+
+    statics = unett.UNetTStatics(arch)
+    rng = np.random.default_rng(0)
+    b, nseq, nt = 2, 64, 12
+    x = jnp.asarray(rng.standard_normal((b, nseq, 16)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, nseq, 16)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (b, nt)), jnp.int32)
+    t = jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32)
+    ref = np.asarray(unett.unett_forward(params, statics, x, cond, text, t, backend="xla"))
+    out = np.asarray(unett.unett_forward(qparams, statics, x, cond, text, t, backend="xla"))
+    cos = float((ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.999, cos
+
+
+def test_quantize_mmdit_params_and_forward():
+    """int8 covers MMDiT's dual-stream blocks (incl. the unstacked last_block);
+    fuse_backbone_qkv must leave joint-attention projections unfused."""
+    from f5tts_tpu.models import mmdit
+    from f5tts_tpu.models.modules import fuse_backbone_qkv
+
+    arch = ModelArch(dim=64, depth=3, heads=2, dim_head=32, ff_mult=2,
+                     mel_dim=16, text_num_embeds=30, text_mask_padding=True)
+    params = mmdit.init_mmdit(jax.random.PRNGKey(0), arch)
+    params = jax.tree.map(lambda a: a + 0.02 * jnp.ones_like(a), params)
+
+    fused = fuse_backbone_qkv(params)
+    assert "to_qkv" not in fused["blocks"]["attn"]  # joint attn: no fusion
+    qparams = quant.quantize_dit_params(fused)
+    assert "w_i8" in qparams["blocks"]["attn"]["to_q"]
+    assert "w_i8" in qparams["blocks"]["attn"]["to_q_c"]
+    assert "w_i8" in qparams["last_block"]["ff_x"]["in"]
+
+    statics = mmdit.MMDiTStatics(arch)
+    rng = np.random.default_rng(0)
+    b, nseq, nt = 2, 64, 12
+    x = jnp.asarray(rng.standard_normal((b, nseq, 16)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, nseq, 16)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (b, nt)), jnp.int32)
+    t = jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32)
+    ref = np.asarray(mmdit.mmdit_forward(params, statics, x, cond, text, t))
+    out = np.asarray(mmdit.mmdit_forward(qparams, statics, x, cond, text, t))
+    cos = float((ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.999, cos
