@@ -60,6 +60,10 @@ class ModelArch:
     attn_mask_enabled: bool = False
     long_skip_connection: bool = False
     checkpoint_activations: bool = False
+    # remat policy when checkpoint_activations is on: "nothing" rematerializes
+    # everything (min memory); "dots" saves matmul outputs and recomputes only
+    # the cheap elementwise chain (jax.checkpoint_policies.checkpoint_dots)
+    remat_policy: str = "nothing"  # "nothing" | "dots"
     # UNetT only:
     skip_connect_type: str = "concat"  # "add" | "concat" | "none"
     # MMDiT only:

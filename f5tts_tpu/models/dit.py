@@ -247,7 +247,9 @@ def dit_apply(
         return h, None
 
     if checkpoint_blocks or arch.checkpoint_activations:
-        body = jax.checkpoint(body)
+        policy = (jax.checkpoint_policies.checkpoint_dots
+                  if getattr(arch, "remat_policy", "nothing") == "dots" else None)
+        body = jax.checkpoint(body, policy=policy)
 
     x = x_embedded
     if arch.long_skip_connection:

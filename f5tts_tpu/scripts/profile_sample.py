@@ -12,13 +12,7 @@ Usage: python -m f5tts_tpu.scripts.profile_sample [--top 30] [--logdir DIR]
 from __future__ import annotations
 
 import argparse
-import collections
 import dataclasses
-import glob
-import gzip
-import json
-import os
-import re
 
 
 def run_workload(logdir: str):
@@ -64,55 +58,18 @@ def run_workload(logdir: str):
     assert np.isfinite(total)
 
 
-_GENERIC = re.compile(r"\d+")
-
-
-def summarize(logdir: str, top: int = 30):
-    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
-    if not paths:
-        raise SystemExit(f"no trace.json.gz under {logdir}")
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path, "rt") as f:
-        trace = json.load(f)
-
-    events = trace["traceEvents"]
-    # find TPU device pids (track names like "/device:TPU:0" or "TPU:0")
-    pid_names = {e["pid"]: e["args"].get("name", "") for e in events
-                 if e.get("ph") == "M" and e.get("name") == "process_name"}
-    tpu_pids = {pid for pid, name in pid_names.items()
-                if "TPU" in name and "host" not in name.lower()}
-
-    by_op = collections.Counter()
-    calls = collections.Counter()
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
-            continue
-        name = e.get("name", "")
-        dur = e.get("dur", 0)  # microseconds
-        # collapse fusion indices: "fusion.123" -> "fusion", keep kernel names
-        base = _GENERIC.sub("#", name)
-        by_op[base] += dur
-        calls[base] += 1
-        total += dur
-
-    print(f"trace: {path}")
-    print(f"total device-op time in window: {total/1e3:.3f} ms "
-          f"(3 sampler calls incl. vocoder)")
-    print(f"{'op':<60} {'ms':>9} {'%':>6} {'calls':>7}")
-    for op, dur in by_op.most_common(top):
-        print(f"{op:<60} {dur/1e3:9.3f} {100*dur/max(total,1):6.2f} {calls[op]:7d}")
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--logdir", default="/tmp/jax-trace-sample")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--key", default="source", choices=["source", "op"])
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args(argv)
     if not args.parse_only:
         run_workload(args.logdir)
-    summarize(args.logdir, args.top)
+    from f5tts_tpu.profiling import summarize_trace
+
+    summarize_trace(args.logdir, steps=3, top=args.top, key=args.key)
 
 
 if __name__ == "__main__":

@@ -10,12 +10,7 @@ Usage: python -m f5tts_tpu.scripts.profile_train [--batch 8] [--frames 1024]
 from __future__ import annotations
 
 import argparse
-import collections
 import dataclasses
-import glob
-import gzip
-import json
-import os
 
 
 def run_workload(logdir: str, batch: int, frames: int, steps: int = 3):
@@ -58,52 +53,9 @@ def run_workload(logdir: str, batch: int, frames: int, steps: int = 3):
 
 
 def summarize_by_source(logdir: str, steps: int, top: int = 25):
-    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
-    if not paths:
-        raise SystemExit(f"no trace.json.gz under {logdir}")
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path, "rt") as f:
-        trace = json.load(f)
+    from f5tts_tpu.profiling import summarize_trace
 
-    # keep LEAF events only: umbrella rows (jit_*, while bodies, scan loops)
-    # contain their children and double-count — a parent is any event that
-    # strictly encloses another event on the same (pid, tid) track
-    by_track = collections.defaultdict(list)
-    for e in trace["traceEvents"]:
-        if e.get("ph") != "X":
-            continue
-        a = e.get("args") or {}
-        if a.get("device_duration_ps") is None:
-            continue
-        by_track[(e.get("pid"), e.get("tid"))].append(e)
-
-    agg = collections.defaultdict(lambda: [0.0, 0])
-    for track in by_track.values():
-        track.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
-        stack = []  # (end_ts, event); children mark parents non-leaf
-        leaf_flags = {}
-        for e in track:
-            ts, dur = e["ts"], e.get("dur", 0)
-            while stack and stack[-1][0] <= ts:
-                stack.pop()
-            if stack:
-                leaf_flags[id(stack[-1][1])] = False  # has a child
-            leaf_flags.setdefault(id(e), True)
-            stack.append((ts + dur, e))
-        for e in track:
-            if not leaf_flags.get(id(e), True):
-                continue
-            a = e.get("args") or {}
-            key = a.get("source", "") or e["name"].split(".")[0]
-            agg[key][0] += int(a["device_duration_ps"]) / 1e9  # ms
-            agg[key][1] += 1
-
-    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
-    total = sum(v[0] for v in agg.values())
-    print(f"trace: {path}")
-    print(f"total (leaf ops): {total/steps:.1f} ms/step over {steps} steps")
-    for k, (ms, n) in rows[:top]:
-        print(f"{ms/steps:9.3f} ms/step {100*ms/total:5.1f}%  n={n:6d}  {k}")
+    summarize_trace(logdir, steps=steps, top=top, key="source")
 
 
 def main(argv=None):
