@@ -155,6 +155,84 @@ def convert_f5tts_state_dict(sd: Mapping, arch: ModelArch) -> dict:
     return params
 
 
+def convert_unett_state_dict(sd: Mapping, arch: ModelArch) -> dict:
+    """Reference CFM/UNetT (E2-TTS) state dict -> f5tts_tpu UNetT param pytree.
+
+    Reference layout (src/f5_tts/model/backbones/unett.py:149-186): layers is
+    a ModuleList of ModuleList([skip_proj(0), attn_norm(1), attn(2),
+    ff_norm(3), ff(4)]); skip_proj exists only for the later half when
+    skip_connect_type == "concat"; norm_out is an RMSNorm.
+    """
+    t = "transformer"
+    params: dict = {
+        "time_embed": {
+            "mlp1": _lin(sd, f"{t}.time_embed.time_mlp.0"),
+            "mlp2": _lin(sd, f"{t}.time_embed.time_mlp.2"),
+        },
+        "text_embed": {
+            "embed": {"w": jnp.asarray(_np(sd[f"{t}.text_embed.text_embed.weight"]))},
+        },
+        "input_embed": {
+            "proj": _lin(sd, f"{t}.input_embed.proj"),
+            "conv_pos": {
+                "conv1": _conv(sd, f"{t}.input_embed.conv_pos_embed.conv1d.0"),
+                "conv2": _conv(sd, f"{t}.input_embed.conv_pos_embed.conv1d.2"),
+            },
+        },
+        "norm_out": {"w": jnp.asarray(_np(sd[f"{t}.norm_out.weight"]))},
+        "proj_out": _lin(sd, f"{t}.proj_out"),
+    }
+    if arch.conv_layers > 0:
+        params["text_embed"]["blocks"] = [
+            _convnext_v2(sd, f"{t}.text_embed.text_blocks.{i}")
+            for i in range(arch.conv_layers)
+        ]
+
+    def block(i: int, later_half: bool) -> dict:
+        b = f"{t}.layers.{i}"
+        blk = {
+            "attn_norm": {"w": jnp.asarray(_np(sd[f"{b}.1.weight"]))},
+            "attn": {
+                "to_q": _lin(sd, f"{b}.2.to_q"),
+                "to_k": _lin(sd, f"{b}.2.to_k"),
+                "to_v": _lin(sd, f"{b}.2.to_v"),
+                "to_out": _lin(sd, f"{b}.2.to_out.0"),
+            },
+            "ff_norm": {"w": jnp.asarray(_np(sd[f"{b}.3.weight"]))},
+            "ff": {
+                "in": _lin(sd, f"{b}.4.ff.0.0"),
+                "out": _lin(sd, f"{b}.4.ff.2"),
+            },
+        }
+        if f"{b}.2.q_norm.weight" in sd:
+            blk["attn"]["q_norm"] = {"w": jnp.asarray(_np(sd[f"{b}.2.q_norm.weight"]))}
+            blk["attn"]["k_norm"] = {"w": jnp.asarray(_np(sd[f"{b}.2.k_norm.weight"]))}
+        if later_half and arch.skip_connect_type == "concat":
+            blk["skip_proj"] = _lin(sd, f"{b}.0", bias=False)
+        return blk
+
+    import jax
+
+    half = arch.depth // 2
+    first = [block(i, False) for i in range(half)]
+    second = [block(half + i, True) for i in range(half)]
+    params["first_half"] = jax.tree.map(lambda *xs: jnp.stack(xs), *first)
+    params["second_half"] = jax.tree.map(lambda *xs: jnp.stack(xs), *second)
+    return params
+
+
+def convert_backbone_state_dict(sd: Mapping, arch: ModelArch,
+                                backbone: str = "DiT") -> dict:
+    """Dispatch a reference checkpoint to the right backbone converter."""
+    if backbone == "DiT":
+        return convert_f5tts_state_dict(sd, arch)
+    if backbone == "UNetT":
+        return convert_unett_state_dict(sd, arch)
+    raise NotImplementedError(
+        f"no torch-checkpoint converter for backbone {backbone!r} "
+        "(the reference publishes DiT (F5-TTS) and UNetT (E2-TTS) checkpoints only)")
+
+
 def convert_vocos_state_dict(sd: Mapping, num_layers: int = 8) -> dict:
     """charactr/vocos-mel-24khz state dict -> f5tts_tpu Vocos param pytree."""
     import jax

@@ -62,12 +62,16 @@ class F5TTS:
             vocab = load_vocab(str(bundled))
         arch = dataclasses.replace(cfg.arch, text_num_embeds=len(vocab))
 
-        # model params
-        statics = dit.DiTStatics(arch)
+        # model params — dispatch on the preset's backbone (DiT for F5-TTS,
+        # UNetT for E2-TTS, MMDiT) instead of assuming DiT
+        from f5tts_tpu.models.cfm import BACKBONES
+
+        bd = BACKBONES[cfg.backbone]
+        statics = bd.statics_cls(arch)
         if ckpt_file:
-            params = self._load_ckpt(ckpt_file, arch, use_ema)
+            params = self._load_ckpt(ckpt_file, arch, use_ema, cfg.backbone)
         else:
-            params = dit.init_dit(jax.random.PRNGKey(0), arch)
+            params = bd.init(jax.random.PRNGKey(0), arch)
 
         # vocoder
         voc_cfg = VocosConfig()
@@ -87,15 +91,16 @@ class F5TTS:
             params=params, statics=statics, vocoder=vocoder.decode,
             vocab_char_map=vocab, mel_cfg=cfg.mel_spec, sampling=sampling,
             tokenizer=cfg.tokenizer, dtype=dtype, backend=backend,
+            backbone=bd,
         )
 
     @staticmethod
-    def _load_ckpt(path: str, arch, use_ema: bool):
+    def _load_ckpt(path: str, arch, use_ema: bool, backbone: str = "DiT"):
         if path.endswith((".pt", ".pth", ".bin", ".safetensors")):
-            from f5tts_tpu.compat import convert_f5tts_state_dict, load_torch_checkpoint
+            from f5tts_tpu.compat import convert_backbone_state_dict, load_torch_checkpoint
 
             sd = load_torch_checkpoint(path)
-            return convert_f5tts_state_dict(sd, arch)
+            return convert_backbone_state_dict(sd, arch, backbone)
         from f5tts_tpu.train.checkpoint import load_params
 
         return load_params(path, use_ema=use_ema)

@@ -37,9 +37,15 @@ def build_app(tts: F5TTS) -> "gr.Blocks":
 
     def basic_tts(ref_audio, ref_text, gen_text, remove_silence,
                   cross_fade_duration, nfe_step, speed, seed):
-        wav, sr = _load_ref(ref_audio)
+        # empty ref text -> transcribe (the UI label promises it; reference
+        # infer_gradio routes through preprocess_ref_audio_text). Without
+        # this, a 2-byte ". " ref text blows up the byte-ratio duration
+        # estimate into ~44 s hallucinated chunks.
+        from f5tts_tpu.infer.asr import preprocess_ref_audio_text
+
+        wav, sr, ref_text = preprocess_ref_audio_text(ref_audio, ref_text or "")
         out, out_sr, _ = tts.pipeline.infer(
-            wav, sr, ref_text or "", gen_text,
+            wav, sr, ref_text,
             seed=int(seed) if seed else 0,
             nfe_step=int(nfe_step), speed=speed,
             cross_fade_duration=cross_fade_duration,

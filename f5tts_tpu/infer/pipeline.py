@@ -34,12 +34,15 @@ from f5tts_tpu.text.vocab import list_str_to_idx, list_str_to_tensor
 from f5tts_tpu.utils import duration_bucket, make_time_grid
 
 
+SENTENCE_SPLIT_RE = re.compile(r"(?<=[;:,.!?])\s+|(?<=[；：，。！？])")
+
+
 def chunk_text(text: str, max_chars: int = 135) -> list[str]:
     """Reference utils_infer.py:73-102: split on sentence punctuation, pack
     to a utf-8 byte budget."""
     chunks: list[str] = []
     current = ""
-    sentences = re.split(r"(?<=[;:,.!?])\s+|(?<=[；：，。！？])", text)
+    sentences = SENTENCE_SPLIT_RE.split(text)
     for sentence in sentences:
         if not sentence:
             continue
@@ -107,7 +110,7 @@ class InferencePipeline:
     """
 
     params: dict
-    statics: dit.DiTStatics
+    statics: object                    # backbone statics (DiTStatics/UNetTStatics/...)
     vocoder: object                    # callable mel [b, d, t] -> wav [b, n]
     vocab_char_map: Optional[dict] = None
     mel_cfg: MelConfig = field(default_factory=MelConfig)
@@ -117,8 +120,11 @@ class InferencePipeline:
     backend: str = "pallas"
     bucket_size: int = 256
     quantization: str = "none"         # "none" | "int8" (W8A8 DiT projections)
+    backbone: object = None            # cfm.BackboneDef; None -> DiT
 
     def __post_init__(self):
+        if self.backbone is None:
+            self.backbone = cfm.DIT
         self.mel = MelFrontend(self.mel_cfg)
         self.hop = self.mel_cfg.hop_length
         self.sr = self.mel_cfg.target_sample_rate
@@ -147,6 +153,7 @@ class InferencePipeline:
                 key=key, cfg_strength=cfg_strength,
                 dtype=self.dtype, backend=self.backend,
                 noise_max_len=self.sampling.max_duration,  # bucket-invariant noise
+                backbone=self.backbone,
             )
             wav = self.vocoder(jnp.transpose(mel, (0, 2, 1)))
             return mel, wav
@@ -176,6 +183,7 @@ class InferencePipeline:
                 key=key, cfg_strength=cfg_strength,
                 dtype=self.dtype, backend=self.backend,
                 noise_max_len=self.sampling.max_duration,
+                backbone=self.backbone,
             )
             waves = self.vocoder(jnp.transpose(out, (0, 2, 1)))
             waves = waves * down_scale[:, None]
@@ -237,9 +245,11 @@ class InferencePipeline:
         nfe_step: Optional[int] = None,
         cfg_strength: Optional[float] = None,
         sway_sampling_coef: Optional[float] = "default",
+        target_rms: Optional[float] = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (wave [n], gen mel [d, t]). One text chunk."""
         s = self.sampling
+        rms_target = s.target_rms if target_rms is None else target_rms
         speed = s.speed if speed is None else speed
         nfe = s.nfe_steps if nfe_step is None else nfe_step
         cfg_strength = s.cfg_strength if cfg_strength is None else cfg_strength
@@ -247,8 +257,8 @@ class InferencePipeline:
 
         # rms normalize (restored after vocoding)
         ref_rms = audio_io.rms(ref_wav)
-        if ref_rms < s.target_rms and ref_rms > 0:
-            ref_wav = ref_wav * (s.target_rms / ref_rms)
+        if ref_rms < rms_target and ref_rms > 0:
+            ref_wav = ref_wav * (rms_target / ref_rms)
 
         ref_mel = self.ref_mel(ref_wav)
         ref_frames = ref_mel.shape[0]
@@ -258,8 +268,12 @@ class InferencePipeline:
             self.sr, self.hop,
         )
         text_ids = self.tokenize([ref_text + gen_text])
+        # true token count, not the padded bucket width (reference cfm.py:135
+        # derives text_lens from non-pad tokens) — the bucket width would
+        # inflate the enforced minimum duration for short texts
+        text_lens = (text_ids != -1).sum(axis=1)
         total_frames = int(cfm.compute_duration(
-            jnp.asarray([text_ids.shape[1]]), jnp.asarray([ref_frames]),
+            jnp.asarray(text_lens), jnp.asarray([ref_frames]),
             jnp.asarray([total_frames]), s.max_duration,
         )[0])
 
@@ -284,8 +298,8 @@ class InferencePipeline:
         hi = min(total_frames * self.hop, wave_full.shape[1])
         wave = wave_full[0, lo:hi]
 
-        if ref_rms < s.target_rms and ref_rms > 0:
-            wave = wave * (ref_rms / s.target_rms)
+        if ref_rms < rms_target and ref_rms > 0:
+            wave = wave * (ref_rms / rms_target)
         return wave.astype(np.float32), np.asarray(gen_mel_bdt)[0]
 
     def generate_batch(
@@ -354,8 +368,12 @@ class InferencePipeline:
             wav_i16[i, :wav_lens[i]] = (w * 32767.0).astype(np.int16)
 
         text_ids = self.tokenize(texts)
+        # true per-request token counts, not the shared padded width (see
+        # infer(): the bucket width would force short requests to the long
+        # request's minimum duration, appending seconds of unconditioned tail)
+        text_lens = (text_ids != -1).sum(axis=1)
         totals = np.asarray(cfm.compute_duration(
-            jnp.full((b,), text_ids.shape[1]), jnp.asarray(ref_lens),
+            jnp.asarray(text_lens), jnp.asarray(ref_lens),
             jnp.asarray(totals), s.max_duration))
         n_bucket = duration_bucket(int(totals.max()), self.bucket_size, s.max_duration)
 
@@ -395,6 +413,7 @@ class InferencePipeline:
         cfg_strength: Optional[float] = None,
         sway_sampling_coef: Optional[float] = "default",
         cross_fade_duration: Optional[float] = None,
+        target_rms: Optional[float] = None,
     ) -> tuple[np.ndarray, int, np.ndarray]:
         """Full pipeline: chunk text, generate, cross-fade.
         Returns (wave, sample_rate, mel [d, t])."""
@@ -419,6 +438,7 @@ class InferencePipeline:
                 ref_wav, ref_text, chunk, seed=seed, speed=speed,
                 fix_duration=fix_duration, nfe_step=nfe_step,
                 cfg_strength=cfg_strength, sway_sampling_coef=sway_sampling_coef,
+                target_rms=target_rms,
             )
             waves.append(w)
             mels.append(mspec)

@@ -141,11 +141,15 @@ def warmup(pipeline: InferencePipeline, buckets: list[int] | None = None,
     sr = pipeline.sr
     for frames in buckets:
         for b in batch_sizes:
-            secs = max(frames * pipeline.hop / sr * 0.4, 0.5)
+            # pin the duration with fix_duration so the sweep compiles
+            # EXACTLY the requested frame bucket: the byte-ratio estimator
+            # scales by the ref clip's frames-per-byte (~21 with a short ref
+            # text) and overshot ~4x, compiling buckets nobody asked for
             reqs = [{
-                "ref_wav": np.zeros(int(sr * min(secs, 2.0)), np.float32),
+                "ref_wav": np.zeros(int(sr * 2.0), np.float32),
                 "ref_text": "warm up. ",
-                "gen_text": "w" * max(int(frames * 0.2), 8),
+                "gen_text": "w " * max(int(frames * 0.1), 8),
+                "fix_duration": frames * pipeline.hop / sr,
             } for _ in range(b)]
             t0 = time.time()
             try:

@@ -79,12 +79,14 @@ def load_vocoder(vocoder_name: str = "vocos", is_local: bool = False,
     raise ValueError(f"unknown vocoder {vocoder_name!r}")
 
 
-def load_checkpoint(arch, ckpt_path: str, device=None, dtype=None, use_ema: bool = True):
+def load_checkpoint(arch, ckpt_path: str, device=None, dtype=None, use_ema: bool = True,
+                    backbone: str = "DiT"):
     """Load reference .pt/.safetensors or native orbax params (reference :190)."""
     if ckpt_path.endswith((".pt", ".pth", ".bin", ".safetensors")):
-        from f5tts_tpu.compat import convert_f5tts_state_dict, load_torch_checkpoint
+        from f5tts_tpu.compat import convert_backbone_state_dict, load_torch_checkpoint
 
-        params = convert_f5tts_state_dict(load_torch_checkpoint(ckpt_path), arch)
+        params = convert_backbone_state_dict(load_torch_checkpoint(ckpt_path), arch,
+                                             backbone)
     else:
         from f5tts_tpu.train.checkpoint import load_params
 
@@ -111,12 +113,15 @@ class LoadedModel:
     def pipeline(self, vocoder: Callable) -> InferencePipeline:
         key = id(vocoder)
         if key not in self._pipelines:
+            from f5tts_tpu.models.cfm import BACKBONES
+
+            bd = BACKBONES[self.config.backbone]
             self._pipelines[key] = InferencePipeline(
-                params=self.params, statics=dit.DiTStatics(self.config.arch),
+                params=self.params, statics=bd.statics_cls(self.config.arch),
                 vocoder=vocoder, vocab_char_map=self.vocab,
                 mel_cfg=self.config.mel_spec, sampling=self.config.sampling,
                 tokenizer=self.config.tokenizer, dtype=self.dtype,
-                backend=self.backend,
+                backend=self.backend, backbone=bd,
             )
         return self._pipelines[key]
 
@@ -134,10 +139,14 @@ def load_model(model: str = "F5TTS_v1_Base", ckpt_path: str = "",
         vocab_file = str(files("f5tts_tpu").joinpath("data/vocab_emilia_pinyin.txt"))
     vocab = load_vocab(vocab_file)
     arch = dataclasses.replace(cfg.arch, text_num_embeds=len(vocab))
+    from f5tts_tpu.models.cfm import BACKBONES
+
+    bd = BACKBONES[cfg.backbone]
     if ckpt_path:
-        params = load_checkpoint(arch, ckpt_path, dtype=dtype, use_ema=use_ema)
+        params = load_checkpoint(arch, ckpt_path, dtype=dtype, use_ema=use_ema,
+                                 backbone=cfg.backbone)
     else:
-        params = dit.init_dit(jax.random.PRNGKey(0), arch)
+        params = bd.init(jax.random.PRNGKey(0), arch)
     return LoadedModel(params=params, config=dataclasses.replace(cfg, arch=arch),
                        vocab=vocab, dtype=dtype, backend=backend)
 
@@ -166,7 +175,7 @@ def infer_process(
         wav, sr, ref_text, gen_text, seed=seed, speed=speed,
         fix_duration=fix_duration, nfe_step=nfe_step, cfg_strength=cfg_strength,
         sway_sampling_coef=sway_sampling_coef,
-        cross_fade_duration=cross_fade_duration,
+        cross_fade_duration=cross_fade_duration, target_rms=target_rms,
     )
 
 
@@ -180,10 +189,12 @@ def infer_batch_process(
     wav, sr = (audio_io.read_wav(ref_audio) if isinstance(ref_audio, str)
                else (np.asarray(ref_audio[0], np.float32), ref_audio[1]))
     pipe = model_obj.pipeline(vocoder)
+    # pop before branching: streamed chunks are yielded as-is (no cross-fade,
+    # reference :528-537) and infer_stream does not take the kwarg
+    xf = kw.pop("cross_fade_duration", cross_fade_duration)
     if streaming:
         return pipe.infer_stream(wav, sr, ref_text, gen_text_batches,
                                  chunk_size=chunk_size, seed=seed, **kw)
-    xf = kw.pop("cross_fade_duration", cross_fade_duration)
     ref = audio_io.resample(wav, sr, pipe.sr)
     waves, mels = [], []
     for chunk in gen_text_batches:

@@ -26,6 +26,12 @@ from f5tts_tpu.train.step import TrainState
 
 
 class CheckpointManager:
+    """Two independent orbax managers, mirroring the reference's split
+    between the `model_last.pt` heartbeat (overwritten, never rotated
+    against milestones) and rotated numbered `model_<step>.pt` checkpoints
+    (trainer.py:150-183). A single shared rotation would let frequent
+    heartbeats evict the milestone the user expected to keep."""
+
     def __init__(self, save_dir: str, keep_last_n: int = -1):
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
@@ -33,29 +39,46 @@ class CheckpointManager:
             max_to_keep=None if keep_last_n is None or keep_last_n < 0 else max(keep_last_n, 1),
             create=True,
         )
+        # milestones live at the save_dir root (back-compat with dirs saved
+        # before the split); the heartbeat in its own subdir, keep only 1
         self.mngr = ocp.CheckpointManager(self.save_dir, options=options)
+        self.last_mngr = ocp.CheckpointManager(
+            os.path.join(self.save_dir, "last"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        )
 
-    def save(self, state: TrainState, step: Optional[int] = None, wait: bool = False) -> None:
+    def save(self, state: TrainState, step: Optional[int] = None, wait: bool = False,
+             heartbeat: bool = False) -> None:
         step = int(state.step) if step is None else step
-        self.mngr.save(step, args=ocp.args.StandardSave(state_to_pytree(state)))
+        mngr = self.last_mngr if heartbeat else self.mngr
+        mngr.save(step, args=ocp.args.StandardSave(state_to_pytree(state)))
         if wait:
-            self.mngr.wait_until_finished()
+            mngr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
-        return self.mngr.latest_step()
+        steps = [s for s in (self.mngr.latest_step(), self.last_mngr.latest_step())
+                 if s is not None]
+        return max(steps) if steps else None
 
     def restore(self, abstract_state: TrainState, step: Optional[int] = None) -> Optional[TrainState]:
-        step = step if step is not None else self.mngr.latest_step()
+        """Restore `step` (or the newest state across heartbeat+milestones —
+        the reference prefers model_last.pt, which is always newest)."""
+        if step is None:
+            step = self.latest_step()
         if step is None:
             return None
-        restored = self.mngr.restore(
+        mngr = (self.last_mngr if self.last_mngr.latest_step() == step
+                and step not in self.mngr.all_steps() else self.mngr)
+        restored = mngr.restore(
             step, args=ocp.args.StandardRestore(state_to_pytree(abstract_state))
         )
         return pytree_to_state(restored, abstract_state)
 
     def close(self):
         self.mngr.wait_until_finished()
+        self.last_mngr.wait_until_finished()
         self.mngr.close()
+        self.last_mngr.close()
 
 
 def state_to_pytree(state: TrainState) -> dict:
@@ -79,11 +102,23 @@ def pytree_to_state(tree: dict, like: TrainState) -> TrainState:
 
 
 def load_params(ckpt_dir: str, use_ema: bool = True, step: Optional[int] = None) -> dict:
-    """Load just the (EMA) model params from an orbax checkpoint dir."""
-    mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
-    step = step if step is not None else mngr.latest_step()
+    """Load just the (EMA) model params from an orbax checkpoint dir.
+
+    Considers both the milestone root and the `last/` heartbeat subdir,
+    preferring whichever holds the newest step (reference prefers
+    model_last.pt, always the newest; utils_infer.py:190-232)."""
+    root = os.path.abspath(ckpt_dir)
+    mngr = ocp.CheckpointManager(root)
+    best, best_step = mngr, mngr.latest_step()
+    last_dir = os.path.join(root, "last")
+    if step is None and os.path.isdir(last_dir):
+        last = ocp.CheckpointManager(last_dir)
+        ls = last.latest_step()
+        if ls is not None and (best_step is None or ls > best_step):
+            best, best_step = last, ls
+    step = step if step is not None else best_step
     assert step is not None, f"no checkpoints under {ckpt_dir}"
-    restored = mngr.restore(step)
+    restored = best.restore(step)
     tree = restored if isinstance(restored, dict) else restored.item
     return tree["ema_params" if use_ema else "params"]
 

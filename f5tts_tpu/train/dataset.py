@@ -75,7 +75,7 @@ class NumpyMel:
 @dataclass
 class Sample:
     mel: np.ndarray        # [t, n_mels]
-    text: str
+    text: object           # raw string, or pre-tokenized pinyin token list
 
 
 class CustomDataset:
@@ -104,7 +104,14 @@ class CustomDataset:
         if self.durations is not None:
             return self.durations[index] * cfg.target_sample_rate / cfg.hop_length
         row = self.data[index]
-        return row["duration"] * cfg.target_sample_rate / cfg.hop_length
+        duration = row.get("duration") if hasattr(row, "get") else row["duration"]
+        if duration is None:
+            raise KeyError(
+                f"row {index} has no 'duration' and no duration.json was "
+                "loaded — frame-budget batching needs one of the two "
+                "(regenerate the dataset with the prep scripts, which always "
+                "write duration.json)")
+        return duration * cfg.target_sample_rate / cfg.hop_length
 
     def _resolve_index(self, index: int) -> int:
         """Bad-duration rows are skipped forward (ref :129-140); text and
@@ -175,7 +182,7 @@ class DynamicBatchSampler:
         frames_threshold: int,
         max_samples: int = 0,
         random_seed: Optional[int] = None,
-        drop_residual: bool = True,
+        drop_residual: bool = False,  # reference default (dataset.py:180): KEEP the residual batch — it holds the longest samples after the ascending sort
     ):
         self.frames_threshold = frames_threshold
         self.max_samples = max_samples

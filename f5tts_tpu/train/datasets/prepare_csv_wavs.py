@@ -42,8 +42,8 @@ def prepare(input_dir: str, output_dir: str, use_pretrained_vocab: bool = True,
     samples = []
     vocab: set[str] = set()
     for (path, _text), tokens, dur in zip(rows, polyphones, durations):
-        text_str = "".join(tokens)
-        samples.append({"audio_path": path, "text": text_str, "duration": dur})
+        # token LIST, not a joined string — see prepare_emilia.py
+        samples.append({"audio_path": path, "text": tokens, "duration": dur})
         vocab.update(tokens)
 
     if use_pretrained_vocab:

@@ -53,9 +53,11 @@ def prepare(emilia_dir: str, output_dir: str, langs=("ZH", "EN"),
                 bad += 1
                 continue
             if lang == "ZH":
-                tokens = convert_char_to_pinyin([text])[0]
-                text = "".join(tokens)
-                vocab.update(tokens)
+                # store the token LIST (reference prepare_emilia.py:139-141):
+                # the trainer consumes pre-tokenized lists without re-running
+                # G2P, so whole-pinyin tokens survive the round trip
+                text = convert_char_to_pinyin([text])[0]
+                vocab.update(text)
             else:
                 vocab.update(text)
             samples.append({

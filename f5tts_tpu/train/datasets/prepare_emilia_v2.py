@@ -37,9 +37,9 @@ def prepare(root: str, output_dir: str, max_samples: int | None = None) -> dict:
             bad += 1
             continue
         if any(is_chinese(c) for c in text):
-            tokens = convert_char_to_pinyin([text])[0]
-            text = "".join(tokens)
-            vocab.update(tokens)
+            # store the token LIST — see prepare_emilia.py
+            text = convert_char_to_pinyin([text])[0]
+            vocab.update(text)
         else:
             vocab.update(text)
         samples.append({"audio_path": str(audio), "text": text, "duration": duration})

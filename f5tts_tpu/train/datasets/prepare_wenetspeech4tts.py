@@ -41,7 +41,8 @@ def prepare(root: str, output_dir: str, tier: str = "Premium", workers: int = 8)
     token_lists = convert_char_to_pinyin([t for _, t in rows])
     samples, vocab = [], set()
     for (path, _), tokens, dur in zip(rows, token_lists, durations):
-        samples.append({"audio_path": path, "text": "".join(tokens), "duration": dur})
+        # token LIST, not a joined string — see prepare_emilia.py
+        samples.append({"audio_path": path, "text": tokens, "duration": dur})
         vocab.update(tokens)
     stats = write_dataset(output_dir, samples, vocab)
     print(f"prepared {stats['samples']} samples, {stats['hours']:.2f} h -> {output_dir}")

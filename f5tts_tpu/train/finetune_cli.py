@@ -131,7 +131,7 @@ def main(argv=None):
                          optax.adamw(args.learning_rate))
         opt_state = tx.init(lora)
         step = jax.jit(make_lora_train_step(params, statics, tx, lcfg,
-                                            dtype=dtype, backend="xla"))
+                                            dtype=dtype, backend="pallas"))
 
         frame_lens = [dataset.get_frame_len(i) for i in range(len(dataset))]
         sampler = DynamicBatchSampler(frame_lens, args.batch_size_per_gpu,
@@ -173,7 +173,7 @@ def main(argv=None):
 
     trainer = Trainer(params, statics, tcfg, backbone=backbone,
                       vocab_char_map=vocab_char_map, tokenizer=args.tokenizer,
-                      dtype=dtype, backend="xla", logger=args.logger)
+                      dtype=dtype, backend="pallas", logger=args.logger)
     metrics = trainer.train(dataset, resumable_with_seed=666, max_updates=args.max_updates)
     print("done:", metrics)
 

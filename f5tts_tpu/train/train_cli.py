@@ -80,7 +80,7 @@ def main(argv=None):
         params, statics, tcfg, backbone=backbone,
         vocab_char_map=vocab_char_map, tokenizer=tokenizer, mesh=mesh,
         dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
-        backend="xla",
+        backend="pallas",  # O(n) flash attention fwd+bwd on TPU (XLA fallback off-TPU)
     )
     metrics = trainer.train(dataset, resumable_with_seed=666,
                             max_updates=args.max_updates)

@@ -49,7 +49,7 @@ class Trainer:
         total_updates: Optional[int] = None,
         mesh=None,
         dtype=jnp.bfloat16,
-        backend: str = "xla",
+        backend: str = "pallas",  # flash fwd+bwd on TPU; auto-falls back to XLA off-TPU
         logger: Optional[str] = None,
         log_dir: str = "runs",
         sample_fn: Optional[Callable] = None,
@@ -85,6 +85,13 @@ class Trainer:
         self._grad_fn = jax.jit(step_impl.grad_step)
         self._apply_fn = jax.jit(step_impl.apply_step)
         self._accum = max(train_cfg.grad_accumulation_steps, 1)
+        # ONE dispatch per micro-batch: an un-jitted tree.map(jnp.add) issues
+        # a remote dispatch per param leaf (~2-3 ms each over the tunnel;
+        # hundreds of leaves dwarf the step itself)
+        self._accum_fn = jax.jit(lambda acc, g: jax.tree.map(jnp.add, acc, g))
+        self._mean_fn = jax.jit(
+            lambda g, k: jax.tree.map(lambda x: x / k, g),
+            static_argnums=1)
 
         self.ckpt = CheckpointManager(train_cfg.save_dir, train_cfg.keep_last_n_checkpoints)
         self.writer = None
@@ -110,8 +117,14 @@ class Trainer:
 
     # -- helpers ------------------------------------------------------------
 
-    def tokenize(self, texts: list[str], pad_to: Optional[int] = None) -> np.ndarray:
+    def tokenize(self, texts: list, pad_to: Optional[int] = None) -> np.ndarray:
         if self.tokenizer == "pinyin":
+            # dataset prep scripts store ALREADY-converted pinyin token lists
+            # (reference prepare_emilia.py:139-141 stores the list; trainer
+            # never re-converts) — re-running convert_char_to_pinyin on them
+            # would shred 'ni3' into per-ASCII-char tokens
+            if texts and isinstance(texts[0], (list, tuple)):
+                return list_str_to_idx(texts, self.vocab_char_map, pad_to=pad_to)
             return list_str_to_idx(convert_char_to_pinyin(texts), self.vocab_char_map, pad_to=pad_to)
         if self.tokenizer == "char":
             return list_str_to_idx(texts, self.vocab_char_map, pad_to=pad_to)
@@ -157,7 +170,11 @@ class Trainer:
         n_bucket = duration_bucket(total, 256, 4096)
         cond = np.zeros((1, n_bucket, mel_ref.shape[1]), np.float32)
         cond[0, :ref_frames] = mel_ref
-        text_ids = self.tokenize([text + " " + text])
+        # doubled text for the cloned continuation (reference trainer.py:411:
+        # list texts get [" "] spliced between, strings a plain space)
+        doubled = (list(text) + [" "] + list(text) if isinstance(text, (list, tuple))
+                   else text + " " + text)
+        text_ids = self.tokenize([doubled])
         t_grid = make_time_grid(32, sway_sampling_coef=-1.0)
         out = cfm_mod.cfm_sample(
             self.state.ema_params, self.statics, jnp.asarray(cond),
@@ -238,8 +255,6 @@ class Trainer:
                     rows = mh.process_local_rows(dsh, len(batch_idx))
                     samples = [dataset[batch_idx[r]] for r in range(rows.start, rows.stop)]
                     local = collate(samples, pad_to=width)
-                    batch = {"mel": local["mel"], "mel_lengths": local["mel_lengths"],
-                             "text": [s.text for s in samples]}
                     mel = mh.assemble_global(dsh, local["mel"], len(batch_idx))
                     lens = mh.assemble_global(dsh, local["mel_lengths"], len(batch_idx))
                     text_ids = mh.assemble_global(
@@ -264,13 +279,13 @@ class Trainer:
                     self.state, metrics = self._step_fn(self.state, sub, mel, text_ids, lens)
                 else:
                     loss, grads = self._grad_fn(self.state.params, sub, mel, text_ids, lens)
-                    accum_grads = grads if accum_grads is None else jax.tree.map(
-                        jnp.add, accum_grads, grads)
+                    accum_grads = (grads if accum_grads is None
+                                   else self._accum_fn(accum_grads, grads))
                     accum_loss = accum_loss + loss
                     accum_count += 1
                     if accum_count < self._accum:
                         continue
-                    mean_grads = jax.tree.map(lambda g: g / self._accum, accum_grads)
+                    mean_grads = self._mean_fn(accum_grads, self._accum)
                     self.state, metrics = self._apply_fn(
                         self.state, accum_loss / self._accum, mean_grads)
                     accum_grads, accum_loss, accum_count = None, 0.0, 0
@@ -282,16 +297,23 @@ class Trainer:
                     t0 = time.time()
                     self._log(last_metrics, update)
 
-                if update % cfg.last_per_updates == 0 or update % cfg.save_per_updates == 0:
+                # milestone checkpoints rotate; the heartbeat is its own
+                # slot and never evicts a milestone (reference model_last.pt
+                # vs model_<step>.pt, trainer.py:150-183)
+                if update % cfg.save_per_updates == 0:
                     self.ckpt.save(self.state)
-                    if update % cfg.save_per_updates == 0:
+                    # sample synthesis on the main process only (reference
+                    # trainer.py:408: is_main_process guard)
+                    if jax.process_index() == 0:
                         if self.sample_fn is not None:
                             self.sample_fn(self.state.ema_params, update)
                         if cfg.log_samples:
                             self._log_sample(update)
+                elif update % cfg.last_per_updates == 0:
+                    self.ckpt.save(self.state, heartbeat=True)
 
                 if max_updates is not None and update >= max_updates:
-                    self.ckpt.save(self.state, wait=True)
+                    self.ckpt.save(self.state, wait=True, heartbeat=True)
                     return last_metrics
-        self.ckpt.save(self.state, wait=True)
+        self.ckpt.save(self.state, wait=True, heartbeat=True)
         return last_metrics

@@ -48,7 +48,10 @@ def test_prepare_csv_wavs_and_load(tmp_path):
     assert ds.get_frame_len(0) > 0
     sample = ds[0]
     assert sample.mel.shape[1] == 100
-    assert "sample" in sample.text
+    # prep stores the PRE-TOKENIZED pinyin list (reference
+    # prepare_emilia.py:139-141) — joined it must reproduce the text
+    assert isinstance(sample.text, list)
+    assert "sample" in "".join(sample.text)
 
 
 def test_prepare_ljspeech_format(tmp_path):
@@ -67,3 +70,30 @@ def test_prepare_ljspeech_format(tmp_path):
     assert stats["samples"] == 2
     with open(out / "duration.json") as f:
         assert len(json.load(f)["duration"]) == 2
+
+
+def test_zh_tokens_roundtrip_train_vs_inference(tmp_path):
+    """Train-time token ids of a prepped ZH sample must equal inference-time
+    tokenization of the raw text (the prep scripts store PRE-TOKENIZED pinyin
+    lists; re-running G2P on a joined string would shred 'ni3' into
+    per-ASCII-char ids)."""
+    from f5tts_tpu.text.pinyin import convert_char_to_pinyin
+    from f5tts_tpu.text.vocab import list_str_to_idx, load_vocab
+
+    vocab = load_vocab("f5tts_tpu/data/vocab_emilia_pinyin.txt")
+    raw = "你好世界 hello"
+    stored = convert_char_to_pinyin([raw])[0]       # what prep scripts store
+    assert isinstance(stored, list) and any(len(t) > 1 for t in stored)
+
+    # inference path: tokenizes the raw string directly
+    infer_ids = list_str_to_idx(convert_char_to_pinyin([raw]), vocab)
+
+    # train path: Trainer.tokenize on the stored value
+    class T:  # minimal stand-in carrying tokenize's attributes
+        tokenizer = "pinyin"
+        vocab_char_map = vocab
+
+    from f5tts_tpu.train.trainer import Trainer
+
+    train_ids = Trainer.tokenize(T(), [stored])
+    np.testing.assert_array_equal(train_ids, infer_ids)

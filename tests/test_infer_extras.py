@@ -106,3 +106,27 @@ def test_socket_server_roundtrip():
     assert stats["samples"] > 1000
     assert stats["ttfb_s"] is not None and stats["ttfb_s"] < stats["total_s"] + 1e-9
     th.join(timeout=10)
+
+
+def test_split_low_ttfb_whitespace_collapse():
+    """Sentence coverage must be exact even when the input has collapsed
+    whitespace runs (double spaces, newlines) — the old prefix-length cursor
+    desynced and re-synthesized stray text."""
+    from f5tts_tpu.infer.socket_server import TTSStreamingProcessor
+
+    proc = TTSStreamingProcessor.__new__(TTSStreamingProcessor)  # skip __init__
+    proc.first_chunk_chars = (12, 40, 80)
+
+    text = "A b.  C d.\nE f. " + "This is a longer sentence for the tail. " * 3
+    chunks = proc._split_low_ttfb(text)
+    assert all(c.strip() for c in chunks)
+    # every sentence appears exactly once, none duplicated or invented
+    joined = " ".join(chunks)
+    assert joined.count("A b.") == 1
+    assert joined.count("C d.") == 1
+    assert joined.count("E f.") == 1
+    assert joined.count("longer sentence") == 3
+    # no stray punctuation-only chunk
+    assert all(any(ch.isalnum() for ch in c) for c in chunks)
+    # first chunk honors the smallest budget
+    assert len(chunks[0].encode("utf-8")) <= 12

@@ -22,10 +22,10 @@ def test_count_max_epoch_precise():
     frame_lens = [100.0] * 100
     r = precise(frame_lens, frames_threshold=1000, max_samples=0,
                 total_updates=100)
-    # 10 full batches of 10x100 frames; the residual (last) batch is dropped
-    # for even DP sharding (drop_last) -> 9 updates/epoch
-    assert r["updates_per_epoch"] == 9
-    assert abs(r["max_epochs"] - 100 / 9) < 1e-9
+    # 10 full batches of 10x100 frames; the residual batch is KEPT
+    # (drop_residual=False, reference dataset.py:180) -> 10 updates/epoch
+    assert r["updates_per_epoch"] == 10
+    assert abs(r["max_epochs"] - 100 / 10) < 1e-9
 
 
 def test_count_params_small():

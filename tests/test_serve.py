@@ -109,3 +109,26 @@ def test_dynamic_batcher_propagates_finalize_errors():
             batcher.submit(_req(0), timeout=30)
     finally:
         batcher.close()
+
+
+def test_warmup_requests_hit_requested_buckets():
+    """The warmup sweep must compile EXACTLY the requested frame buckets:
+    fix_duration pins the estimator (the byte-ratio path overshoots ~4x
+    with a short warmup ref text)."""
+    import jax.numpy as jnp
+
+    from f5tts_tpu.infer.pipeline import estimate_duration_frames
+    from f5tts_tpu.models import cfm
+    from f5tts_tpu.utils import duration_bucket
+
+    sr, hop = 24000, 256
+    for frames in (256, 512, 1024):
+        gen_text = "w " * max(int(frames * 0.1), 8)
+        est = estimate_duration_frames(
+            189, "warm up. ", gen_text, 1.0, frames * hop / sr, sr, hop)
+        # token count ~ len(gen_text)/1 chars; ref ~189 frames; both far
+        # below the bucket for every requested size here
+        total = int(cfm.compute_duration(
+            jnp.asarray([len(gen_text)]), jnp.asarray([189]),
+            jnp.asarray([est]), 4096)[0])
+        assert duration_bucket(total, 256, 4096) == frames, (frames, est, total)

@@ -132,6 +132,37 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_heartbeat_does_not_evict_milestones(tmp_path):
+    """Heartbeats keep their own single slot; milestones rotate separately
+    (reference model_last.pt vs model_<step>.pt, trainer.py:150-183)."""
+    from f5tts_tpu.train.checkpoint import CheckpointManager, load_params
+
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    tx = make_optimizer(1e-3, 2, 100)
+    state = init_train_state(params, tx)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), keep_last_n=2)
+    mgr.save(state, step=10, wait=True)                  # milestone
+    mgr.save(state, step=20, wait=True)                  # milestone
+    mgr.save(state, step=21, wait=True, heartbeat=True)  # heartbeat
+    mgr.save(state, step=22, wait=True, heartbeat=True)  # heartbeat (evicts 21)
+
+    assert sorted(mgr.mngr.all_steps()) == [10, 20]      # milestones intact
+    assert mgr.last_mngr.all_steps() == [22]             # only newest heartbeat
+    assert mgr.latest_step() == 22
+
+    fresh = init_train_state(params, tx)
+    restored = mgr.restore(fresh)                        # newest = heartbeat
+    assert restored is not None
+    mgr.close()
+
+    # load_params prefers the newest step across milestones + heartbeat
+    p = load_params(str(tmp_path / "ckpts"), use_ema=True)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(p)[0]),
+        np.asarray(jax.tree.leaves(state.ema_params)[0]))
+
+
 def test_trainer_loop_with_synthetic_dataset(tmp_path):
     from f5tts_tpu.train.trainer import Trainer
 
