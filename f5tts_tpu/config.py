@@ -63,7 +63,7 @@ class ModelArch:
     # remat policy when checkpoint_activations is on: "nothing" rematerializes
     # everything (min memory); "dots" saves matmul outputs and recomputes only
     # the cheap elementwise chain (jax.checkpoint_policies.checkpoint_dots)
-    remat_policy: str = "nothing"  # "nothing" | "dots"
+    remat_policy: str = "nothing"  # "nothing" | "dots" | "attn" (save qkv+attn outputs)
     # UNetT only:
     skip_connect_type: str = "concat"  # "add" | "concat" | "none"
     # MMDiT only:
@@ -112,6 +112,8 @@ class TrainConfig:
     """Training hyperparameters (reference: configs/*.yaml optim + datasets + ckpts)."""
 
     dataset_name: str = "Emilia_ZH_EN"
+    dataset_type: str = "CustomDataset"  # | "CustomDatasetPath" | "HFDataset"
+    audio_type: str = "raw"  # "raw" (wav->mel on the fly) | "mel" (mel.arrow)
     batch_size_per_device: int = 38_400  # frames per device per update
     batch_size_type: str = "frame"  # "frame" | "sample"
     max_samples: int = 64
@@ -182,6 +184,8 @@ def train_config_from_dict(cfg: dict) -> TrainConfig:
     ckpts = cfg.get("ckpts", {})
     return TrainConfig(
         dataset_name=datasets.get("name", "Emilia_ZH_EN"),
+        dataset_type=datasets.get("dataset_type", "CustomDataset"),
+        audio_type=datasets.get("audio_type", "raw"),
         batch_size_per_device=datasets.get("batch_size_per_gpu", 38_400),
         batch_size_type=datasets.get("batch_size_type", "frame"),
         max_samples=datasets.get("max_samples", 64),

@@ -226,6 +226,13 @@ def dit_apply(
     arch = statics.arch
     n = x_embedded.shape[1]
     rope = statics.rope_angles[:n]
+    if t_mods is None and t_emb is not None:
+        # hoist the per-block AdaLN modulation matmuls (dim -> 6*dim per
+        # block; 41% of DiT-Base weight bytes) out of the block scan as ONE
+        # einsum over the stacked weights. Inside a rematerialized scan the
+        # per-block linears would re-read their weights during the backward
+        # recompute; hoisted, the mods ride the scan as saved inputs.
+        t_mods = hoist_t_mods(params, t_emb)
     block_mods, final_mod = t_mods if t_mods is not None else (None, None)
 
     # flat cos/sin tables for the fused QKV+RoPE kernel, built once per
@@ -247,8 +254,19 @@ def dit_apply(
         return h, None
 
     if checkpoint_blocks or arch.checkpoint_activations:
-        policy = (jax.checkpoint_policies.checkpoint_dots
-                  if getattr(arch, "remat_policy", "nothing") == "dots" else None)
+        rp = getattr(arch, "remat_policy", "nothing")
+        if rp == "dots":
+            policy = jax.checkpoint_policies.checkpoint_dots
+        elif rp == "attn":
+            # save the QKV projection + attention outputs (tagged in
+            # modules.self_attention): the backward replay skips the qkv
+            # matmul, the rope, and the attention kernel — ~5/14 of the
+            # block's forward FLOPs — for 128 MB/block of saved bf16 at
+            # b=16 n=1024
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "qkv", "attn_out")
+        else:
+            policy = None
         body = jax.checkpoint(body, policy=policy)
 
     x = x_embedded
@@ -335,6 +353,23 @@ def dit_forward(
     out = dit_apply(params, statics, h, t_emb, lengths2, backend=backend,
                     t_mods=t_mods)
     return out.astype(jnp.float32)
+
+
+def hoist_t_mods(params: m.Params, t_emb: jax.Array) -> tuple:
+    """Single-step AdaLN hoist: (block_mods [L, b, 6*dim], final_mod [b, 2*dim]).
+
+    Training-time counterpart of `precompute_t_mods` (which folds over all
+    sampler steps): computes every block's modulation vectors from one step's
+    timestep embedding [b, dim] in a single einsum over the stacked AdaLN
+    weights. Numerics match the in-block silu+linear chain."""
+    h = jax.nn.silu(t_emb)
+    wb = params["blocks"]["attn_norm"]["linear"]["w"].astype(h.dtype)
+    bb = params["blocks"]["attn_norm"]["linear"]["b"].astype(h.dtype)
+    block_mods = jnp.einsum("bd,ldk->lbk", h, wb) + bb[:, None, :]
+    wf = params["norm_out"]["linear"]["w"].astype(h.dtype)
+    bf = params["norm_out"]["linear"]["b"].astype(h.dtype)
+    final_mod = h @ wf + bf
+    return block_mods, final_mod
 
 
 def precompute_t_mods(params: m.Params, t_values: jax.Array, batch: int,

@@ -378,8 +378,13 @@ def self_attention(
     b, n, _ = x.shape
     if "to_qkv" in p:
         # inference-fused projection (fuse_attention_qkv): one [d, 3*inner]
-        # dot reads x from HBM once instead of three times
-        qkv = linear(p["to_qkv"], x)
+        # dot reads x from HBM once instead of three times. checkpoint_name
+        # tags feed the "attn" remat policy (arch.remat_policy): under remat
+        # training the saved qkv/attn_out let the backward replay skip the
+        # projection + rope + attention kernel.
+        from jax.ad_checkpoint import checkpoint_name
+
+        qkv = checkpoint_name(linear(p["to_qkv"], x), "qkv")
         inner = qkv.shape[-1] // 3
         dh_ = inner // heads
         if (rope_tabs is not None and "q_norm" not in p
@@ -392,6 +397,7 @@ def self_attention(
                                          lengths if lengths is not None
                                          else jnp.full((b,), n, jnp.int32),
                                          heads)
+            o = checkpoint_name(o, "attn_out")
             o = linear(p["to_out"], o)
             if lengths is not None:
                 mask = jnp.arange(n)[None, :] < lengths[:, None]
@@ -487,35 +493,39 @@ def dit_block(
     return x
 
 
-def fuse_attention_qkv(attn: Params) -> Params:
-    """Inference-only: merge to_q/to_k/to_v into one to_qkv linear.
+def fuse_attention_qkv(attn: Params, dtype=None) -> Params:
+    """Merge to_q/to_k/to_v into one to_qkv linear.
 
     Works on a single block or on depth-stacked params (kernels [..., d, inner]
     concatenated on the output axis). `self_attention` dispatches on the
     presence of "to_qkv". int8 quantization composes: per-output-channel
-    scales concatenate exactly."""
+    scales concatenate exactly. `dtype` casts the fused kernel (the training
+    path fuses a per-step VIEW of the f32 params and casts it straight to the
+    compute dtype so the concat materializes at half the bytes — `linear`
+    would cast per-use anyway, so numerics are unchanged)."""
     if "to_qkv" in attn or "to_q" not in attn:
         return attn
     if "to_q_c" in attn:  # MMDiT joint attention consumes to_q/k/v directly
         return attn
     out = {k: v for k, v in attn.items() if k not in ("to_q", "to_k", "to_v")}
     parts = [attn["to_q"], attn["to_k"], attn["to_v"]]
-    fused = {"w": jnp.concatenate([p["w"] for p in parts], axis=-1)}
+    cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
+    fused = {"w": jnp.concatenate([cast(p["w"]) for p in parts], axis=-1)}
     if "b" in parts[0]:
-        fused["b"] = jnp.concatenate([p["b"] for p in parts], axis=-1)
+        fused["b"] = jnp.concatenate([cast(p["b"]) for p in parts], axis=-1)
     out["to_qkv"] = fused
     return out
 
 
-def fuse_backbone_qkv(params: Params) -> Params:
+def fuse_backbone_qkv(params: Params, dtype=None) -> Params:
     """Apply fuse_attention_qkv to every attention stack a backbone carries
-    (DiT: "blocks"; UNetT: "first_half"/"second_half"). Inference-only param
-    prep shared by the pipeline, bench.py and rtf_bench."""
+    (DiT: "blocks"; UNetT: "first_half"/"second_half"). Param prep shared by
+    the pipeline, bench.py, rtf_bench, and the training step (per-step view)."""
     out = dict(params)
     for stack in ("blocks", "first_half", "second_half"):
         if stack in out and isinstance(out[stack], dict) and "attn" in out[stack]:
             grp = dict(out[stack])
-            grp["attn"] = fuse_attention_qkv(grp["attn"])
+            grp["attn"] = fuse_attention_qkv(grp["attn"], dtype=dtype)
             out[stack] = grp
     return out
 

@@ -249,7 +249,11 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_re
     @pl.when(q_live)
     def _():
         q = q_ref[0, 0, :, :]
-        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        # keep every MXU operand in its native (bf16) dtype with f32
+        # accumulation via preferred_element_type: f32xf32 dots run the MXU
+        # at ~1/4 rate (same lesson as the forward kernel). Only softmax
+        # statistics and the ds intermediate live in f32.
+        do = do_ref[0, 0, :, :]
         lse = lse_ref[0, 0, :, 0:1].astype(jnp.float32)
         delta = delta_ref[0, 0, :, 0:1].astype(jnp.float32)
 
@@ -266,7 +270,7 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_re
                                     preferred_element_type=jnp.float32) * sm_scale
             col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
             p = jnp.where(col < valid_len, jnp.exp(s - lse), 0.0)
-            dp = jax.lax.dot_general(do, v_blk.astype(jnp.float32),
+            dp = jax.lax.dot_general(do, v_blk,
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             ds = p * (dp - delta)
@@ -301,11 +305,14 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
 
         num_qb_live = pl.cdiv(valid_len, block_q)
 
-        # dV and dK fused: recompute p once per q block
+        # dV and dK fused: recompute p once per q block. All MXU operands stay
+        # in their native (bf16) dtype — f32 inputs quarter MXU throughput;
+        # accumulation is f32 via preferred_element_type. Casting p/ds to bf16
+        # for the dV/dK dots is the standard flash-backward practice.
         def body2(qb, carry):
             dk_acc, dv_acc = carry
             q_blk = q_ref[0, 0, pl.ds(qb * block_q, block_q), :]
-            do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+            do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :]
             lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q), 0:1].astype(jnp.float32)
             delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q), 0:1].astype(jnp.float32)
             # padded q rows in a live block carry real softmax weights (see
@@ -314,14 +321,14 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
                                     preferred_element_type=jnp.float32) * sm_scale
             p = jnp.where(col < valid_len, jnp.exp(s - lse), 0.0)
             dv_acc = dv_acc + jax.lax.dot_general(
-                p.astype(jnp.float32), do, (((0,), (0,)), ((), ())),
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            v_blk = v_ref[0, 0, :, :].astype(jnp.float32)
+            v_blk = v_ref[0, 0, :, :]
             dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)  # [bq, bk]
             ds = p * (dp - delta)
             dk_acc = dk_acc + jax.lax.dot_general(
-                ds, q_blk.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             return dk_acc, dv_acc
 
@@ -332,8 +339,111 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
         dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                            delta_ref, dq_ref, dk_ref, dv_ref, *,
+                            sm_scale: float):
+    """dQ+dK+dV in ONE kernel: grid (b, h, n//bk), kb sequential.
+
+    The split dq/dkv kernels each recompute the score matrix and dp — 7 n²
+    dots total; computing s/p/dp once per (q, k-block) pair needs only 5.
+    dq accumulates into a revisited f32 output block (constant index over the
+    sequential kb axis); q/do/lse/delta ride whole-sequence (n=1024 bf16 q is
+    128 KB of VMEM). Row-liveness comes from the saved lse (finite only where
+    the forward computed real softmax rows), so padded q rows inside live
+    blocks keep their cotangents exactly like the split kernels."""
+    bi = pl.program_id(0)
+    kb = pl.program_id(2)
+    valid_len = len_ref[bi]
+
+    n, d = q_ref.shape[2], q_ref.shape[3]
+    bk = k_ref.shape[2]
+
+    @pl.when(kb == 0)
+    def _():
+        dq_ref[0, 0, :, :] = jnp.zeros((n, d), dq_ref.dtype)
+
+    k_live = kb * bk < valid_len
+
+    @pl.when(jnp.logical_not(k_live))
+    def _():
+        dk_ref[0, 0, :, :] = jnp.zeros((bk, d), dk_ref.dtype)
+        dv_ref[0, 0, :, :] = jnp.zeros((bk, d), dv_ref.dtype)
+
+    @pl.when(k_live)
+    def _():
+        q = q_ref[0, 0, :, :]
+        do = do_ref[0, 0, :, :]
+        k_blk = k_ref[0, 0, :, :]
+        v_blk = v_ref[0, 0, :, :]
+        lse = lse_ref[0, 0, :, 0:1].astype(jnp.float32)
+        delta = delta_ref[0, 0, :, 0:1].astype(jnp.float32)
+
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        col = kb * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        row_live = lse > NEG_INF / 2  # [n, 1]
+        p = jnp.where(jnp.logical_and(row_live, col < valid_len),
+                      jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        ds_lo = ds.astype(k_blk.dtype)
+
+        dv_ref[0, 0, :, :] = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dk_ref[0, 0, :, :] = (jax.lax.dot_general(
+            ds_lo, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale).astype(dk_ref.dtype)
+        dq_ref[0, 0, :, :] += (jax.lax.dot_general(
+            ds_lo, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_backward_fused(q, k, v, lengths, o, lse, do):
+    b, h, n, d = q.shape
+    block_k = _pick_block(n, (256, 128))
+    sm_scale = 1.0 / math.sqrt(d)
+    interpret = jax.default_backend() != "tpu"
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
+    lens32 = lengths.astype(jnp.int32)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_fused_kernel, sm_scale=sm_scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, n // block_k),
+            in_specs=[
+                pl.BlockSpec((1, 1, n, d), lambda bi, hi, ki, lens: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, n, d), lambda bi, hi, ki, lens: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, n, LSE_LANES), lambda bi, hi, ki, lens: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, n, LSE_LANES), lambda bi, hi, ki, lens: (bi, hi, 0, 0)),
+            ],
+            out_specs=(
+                # dq: one revisited f32 block per (b, h), accumulated over kb
+                pl.BlockSpec((1, 1, n, d), lambda bi, hi, ki, lens: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, lens: (bi, hi, ki, 0)),
+            ),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(lens32, q, k, v, do, lse, delta)
+    return dq.astype(q.dtype), dk, dv
+
+
 def _flash_backward(q, k, v, lengths, o, lse, do):
     b, h, n, d = q.shape
+    if n % _pick_block(n, (256, 128)) == 0:
+        return _flash_backward_fused(q, k, v, lengths, o, lse, do)
     block_q = _pick_block(n, (256, 128))
     block_k = _pick_block(n, (256, 128))
     sm_scale = 1.0 / math.sqrt(d)
@@ -523,7 +633,7 @@ def _fused_qkv_attn_kernel(len_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
         jax.lax.fori_loop(0, hd // pair, pair_body, 0)
 
 
-def fused_qkv_rope_attention(
+def _fused_qkv_rope_attention_impl(
     qkv: jax.Array,       # [b, n, 3*h*d] fused projection output (flat)
     cos: jax.Array,       # [n, h*d] flat rope table (rope_flat_tables)
     sin: jax.Array,       # [n, h*d]
@@ -532,8 +642,7 @@ def fused_qkv_rope_attention(
 ) -> jax.Array:
     """Flat-layout attention with in-kernel RoPE; returns [b, n, h*d].
 
-    Inference forward only (no VJP) — reachable only via the fused-QKV
-    inference path. Requires n % block == 0, (h*d) % 128 == 0, d in {64,128},
+    Requires n % block == 0, (h*d) % 128 == 0, d in {64,128},
     n <= SINGLE_PASS_MAX_N (single KV pass; scores fit VMEM).
     """
     b, n, hd3 = qkv.shape
@@ -573,6 +682,142 @@ def fused_qkv_rope_attention(
         ),
         interpret=jax.default_backend() != "tpu",
     )(lengths.astype(jnp.int32), qkv, qkv, qkv, cos, sin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_qkv_rope_attention(qkv, cos, sin, lengths, heads: int):
+    """Differentiable fused QKV+RoPE attention (see _fused_qkv_rope_attention_impl).
+
+    The backward pass rebuilds the head-split roped q/k/v with the flat-table
+    rope (numerics match the in-kernel rope), re-runs the flash forward for
+    the per-row log-sum-exp, runs the Pallas flash backward kernels, and
+    un-ropes dq/dk (rope's linear-map transpose = rope with -sin). This makes
+    the inference megakernel usable as-is in the training step.
+    """
+    return _fused_qkv_rope_attention_impl(qkv, cos, sin, lengths, heads)
+
+
+def _fused_qkv_fwd(qkv, cos, sin, lengths, heads):
+    out = _fused_qkv_rope_attention_impl(qkv, cos, sin, lengths, heads)
+    return out, (qkv, cos, sin, lengths)
+
+
+def _fused_qkv_bwd(heads, res, g):
+    from f5tts_tpu.ops.rope import apply_rotary_flat_tables
+
+    qkv, cos, sin, lengths = res
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qr = apply_rotary_flat_tables(q, cos, sin)
+    kr = apply_rotary_flat_tables(k, cos, sin)
+
+    def split_heads(t):
+        return t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split_heads(qr), split_heads(kr), split_heads(v)
+    o, lse = _flash_forward(qh, kh, vh, lengths, return_lse=True)
+    dqh, dkh, dvh = _flash_backward(qh, kh, vh, lengths, o, lse,
+                                    split_heads(g))
+
+    def merge_heads(t):
+        return t.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+    dqr, dkr, dv = merge_heads(dqh), merge_heads(dkh), merge_heads(dvh)
+    dq = apply_rotary_flat_tables(dqr, cos, -sin)
+    dk = apply_rotary_flat_tables(dkr, cos, -sin)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv, None, None, None
+
+
+fused_qkv_rope_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Masked flash attention (arbitrary key mask, e.g. MMDiT joint attention
+# where the dead keys are audio padding in the MIDDLE of the joint sequence,
+# not a suffix — prefix `lengths` can't express it)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float):
+    """Single-KV-pass attention with a per-batch [1, n] additive key bias
+    (0 = live, NEG_INF = masked). Same structure as _flash_kernel_single."""
+    n, d = k_ref.shape[2], k_ref.shape[3]
+    bq = q_ref.shape[2]
+    q = q_ref[0, 0, :, :] * jnp.asarray(sm_scale, q_ref.dtype)
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [bq, n]
+    s = s + bias_ref[0, :, :]
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - mx)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    acc = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0, 0, :, :] = (acc / l_safe).astype(o_ref.dtype)
+
+
+def _masked_flash_forward(q, k, v, kmask):
+    b, h, n, d = q.shape
+    block_q = _pick_block(n, (256, 128))
+    sm_scale = 1.0 / math.sqrt(d)
+    bias = jnp.where(kmask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]  # [b,1,n]
+    return pl.pallas_call(
+        functools.partial(_flash_kernel_bias, sm_scale=sm_scale),
+        grid=(b, h, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda bi, hi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, bias)
+
+
+def mha_reference_masked(q, k, v, kmask):
+    """[b,h,n,d] attention with an arbitrary [b, n] key mask (XLA)."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(kmask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+@jax.custom_vjp
+def masked_flash_attention(q, k, v, kmask):
+    """Key-masked attention: Pallas single-pass kernel on TPU (n % 128 == 0,
+    n <= SINGLE_PASS_MAX_N), XLA reference elsewhere. The backward runs the
+    XLA reference VJP (same recipe as ops/adaln_norm.py) — the forward is the
+    hot path (MMDiT sampler); training numerics match the XLA path exactly."""
+    b, h, n, d = q.shape
+    if (jax.default_backend() == "tpu" and n % 128 == 0
+            and n <= SINGLE_PASS_MAX_N and d in (64, 128)):
+        return _masked_flash_forward(q, k, v, kmask)
+    return mha_reference_masked(q, k, v, kmask)
+
+
+def _masked_fwd(q, k, v, kmask):
+    return masked_flash_attention(q, k, v, kmask), (q, k, v, kmask)
+
+
+def _masked_bwd(res, g):
+    q, k, v, kmask = res
+    _, vjp = jax.vjp(lambda a, b_, c: mha_reference_masked(a, b_, c, kmask), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+masked_flash_attention.defvjp(_masked_fwd, _masked_bwd)
 
 
 def flash_attention_sharded(q, k, v, lengths, mesh=None,

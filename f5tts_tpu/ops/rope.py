@@ -112,6 +112,23 @@ def apply_rotary_flat(
     return (xf * cos + rot * sin).astype(x.dtype)
 
 
+def apply_rotary_flat_tables(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """RoPE on [b, n, h*d] given precomputed flat tables (rope_flat_tables).
+
+    Same math as the in-kernel rope of the fused QKV+RoPE attention kernel
+    (ops/attention.py); used by that kernel's backward pass. The inverse
+    rotation (the rope linear map's transpose) is this with sin negated.
+    """
+    hd = x.shape[-1]
+    lane = jnp.arange(hd)
+    xf = x.astype(jnp.float32)
+    rot = jnp.where(lane % 2 == 0,
+                    -jnp.roll(xf, -1, axis=-1),
+                    jnp.roll(xf, 1, axis=-1))
+    out = xf * cos.astype(jnp.float32) + rot * sin.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def apply_rotary_partial_heads(
     x: jax.Array, angles: jax.Array, pe_attn_head: int | None
 ) -> jax.Array:

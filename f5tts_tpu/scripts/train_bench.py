@@ -1,0 +1,94 @@
+"""Training-step throughput bench (frames/s/chip) on the real TPU.
+
+Measures the full jitted train step (cfm_loss + AdamW + EMA) for
+F5TTS_v1_Base at a given batch/frames, following the tunnel-safe protocol
+(BENCH_HISTORY.md): queue several steps with VARIED inputs before one sync,
+and force completion by fetching a scalar checksum.
+
+Usage: python -m f5tts_tpu.scripts.train_bench [--batch 16] [--frames 1024]
+       [--no-fuse-qkv] [--steps 8] [--backend pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--no-fuse-qkv", action="store_true")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the state (rejected by the dev-tunnel backend)")
+    ap.add_argument("--preset", default="F5TTS_v1_Base")
+    ap.add_argument("--remat-policy", default="nothing",
+                    choices=["nothing", "dots", "attn"])
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable activation checkpointing (fits at b<=8)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from f5tts_tpu.config import PRESETS
+    from f5tts_tpu.models import cfm
+    from f5tts_tpu.train.step import (OptHParams, init_train_state,
+                                      make_optimizer, make_train_step)
+
+    preset = PRESETS[args.preset]
+    arch = dataclasses.replace(preset.arch, text_num_embeds=2545,
+                               checkpoint_activations=not args.no_remat,
+                               remat_policy=args.remat_policy)
+    bdef = cfm.BACKBONES[preset.backbone]
+    params = bdef.init(jax.random.PRNGKey(0), arch)
+    statics = bdef.statics_cls(arch)
+    hp = OptHParams(learning_rate=7.5e-5, warmup_updates=1000,
+                    total_updates=10000)
+    tx = make_optimizer(learning_rate=7.5e-5, warmup_updates=1000,
+                        total_updates=10000)
+    state = init_train_state(params, tx)
+    step_fn = jax.jit(make_train_step(
+        statics, tx, backend=args.backend, backbone=bdef,
+        fuse_qkv=not args.no_fuse_qkv, hp=hp),
+        donate_argnums=(0,) if args.donate else ())
+
+    b, n = args.batch, args.frames
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((b, n, arch.mel_dim)) * 0.3, jnp.float32)
+    text = jnp.asarray(rng.integers(1, 2545, (b, 256)), jnp.int32)
+    lens = jnp.asarray(rng.integers(n // 2, n + 1, (b,)), jnp.int32)
+
+    t0 = time.time()
+    state, m = step_fn(state, jax.random.PRNGKey(0), mel, text, lens)
+    loss0 = float(m["loss"])  # compile + hard sync
+    print(f"compile+first step: {time.time() - t0:.1f}s  loss={loss0:.4f}")
+
+    # warm (non-compile) sync
+    state, m = step_fn(state, jax.random.PRNGKey(1), mel * 1.01, text, lens)
+    float(m["loss"])
+
+    t0 = time.time()
+    losses = []
+    for i in range(2, args.steps + 2):
+        state, m = step_fn(state, jax.random.PRNGKey(i),
+                           mel * (1.0 + 0.01 * i), text, lens)
+        losses.append(m["loss"])
+    total = sum(float(v) for v in losses)  # scalar fetch forces completion
+    dt = (time.time() - t0) / args.steps
+    assert np.isfinite(total)
+
+    frames_per_s = b * n / dt
+    print(f"batch={b} frames={n} fuse_qkv={not args.no_fuse_qkv} "
+          f"backend={args.backend}")
+    print(f"{dt * 1e3:.1f} ms/step  {frames_per_s / 1e3:.1f}k frames/s/chip  "
+          f"(~{frames_per_s * 256 / 24000:.0f} audio-s/s)")
+
+
+if __name__ == "__main__":
+    main()

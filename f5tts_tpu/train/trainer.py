@@ -33,7 +33,8 @@ from f5tts_tpu.text.pinyin import convert_char_to_pinyin
 from f5tts_tpu.text.vocab import list_str_to_idx, list_str_to_tensor
 from f5tts_tpu.train.checkpoint import CheckpointManager
 from f5tts_tpu.train.dataset import DynamicBatchSampler, collate
-from f5tts_tpu.train.step import init_train_state, make_optimizer, make_train_step
+from f5tts_tpu.train.step import (OptHParams, init_train_state,
+                                  make_optimizer, make_train_step)
 
 
 class Trainer:
@@ -69,6 +70,8 @@ class Trainer:
 
         warmup = train_cfg.num_warmup_updates * dp_size
         total = total_updates or (warmup * 10)
+        hp = OptHParams(train_cfg.learning_rate, warmup, total,
+                        train_cfg.max_grad_norm)
         self.tx = make_optimizer(
             train_cfg.learning_rate, warmup, total, train_cfg.max_grad_norm
         )
@@ -78,12 +81,18 @@ class Trainer:
             ema_decay=train_cfg.ema_decay,
             ema_update_every=train_cfg.ema_update_every,
             ema_update_after_step=train_cfg.ema_update_after_step,
-            dtype=dtype, backend=backend,
+            dtype=dtype, backend=backend, backbone=backbone, hp=hp,
         )
-        self._step_fn = jax.jit(step_impl)
+        # donate the state (opt-in): without aliasing, params/opt/EMA
+        # (~6.7 GB f32 at 336M params) double-buffer across the step; the
+        # trainer only ever uses the RETURNED state after a call. Off by
+        # default because the dev-tunnel TPU backend rejects donated buffers
+        # at dispatch (InvalidArgument); enable on directly-attached chips.
+        donate = (0,) if os.environ.get("F5TTS_DONATE_STATE") else ()
+        self._step_fn = jax.jit(step_impl, donate_argnums=donate)
         # gradient accumulation path (reference trainer.py:63-68,364)
         self._grad_fn = jax.jit(step_impl.grad_step)
-        self._apply_fn = jax.jit(step_impl.apply_step)
+        self._apply_fn = jax.jit(step_impl.apply_step, donate_argnums=donate)
         self._accum = max(train_cfg.grad_accumulation_steps, 1)
         # ONE dispatch per micro-batch: an un-jitted tree.map(jnp.add) issues
         # a remote dispatch per param leaf (~2-3 ms each over the tunnel;

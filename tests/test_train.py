@@ -87,6 +87,45 @@ def test_train_step_reduces_loss():
     assert all(np.isfinite(losses))
 
 
+def test_fused_optimizer_matches_optax():
+    # fused clip+AdamW+EMA single-pass update == the optax chain, leaf for
+    # leaf, over several steps (incl. a clipped step via huge lr-free grads)
+    from f5tts_tpu.train.step import OptHParams
+
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    hp = OptHParams(1e-3, warmup_updates=2, total_updates=100,
+                    max_grad_norm=0.05)  # low clip: exercises the clip branch
+    tx = make_optimizer(hp.learning_rate, hp.warmup_updates, hp.total_updates,
+                        hp.max_grad_norm)
+    cfg = CFMConfig(audio_drop_prob=0.0, cond_drop_prob=0.0)
+    kw = dict(dtype=jnp.float32, backend="xla", ema_update_every=2,
+              ema_update_after_step=1)
+    step_ref = jax.jit(make_train_step(statics, tx, cfg, **kw))
+    step_fused = jax.jit(make_train_step(statics, tx, cfg, hp=hp, **kw))
+
+    s_ref = init_train_state(params, tx)
+    s_fused = init_train_state(params, tx)
+    mel, text, lens = _synthetic_batch()
+    key = jax.random.PRNGKey(7)
+    for i in range(4):
+        k = jax.random.fold_in(key, i)
+        s_ref, m_ref = step_ref(s_ref, k, mel, text, lens)
+        s_fused, m_fused = step_fused(s_fused, k, mel, text, lens)
+        np.testing.assert_allclose(float(m_ref["grad_norm"]),
+                                   float(m_fused["grad_norm"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_ref.ema_params), jax.tree.leaves(s_fused.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+    # opt_state structure identical (checkpoint interchangeability)
+    ref_leaves = jax.tree.leaves(s_ref.opt_state)
+    fused_leaves = jax.tree.leaves(s_fused.opt_state)
+    assert len(ref_leaves) == len(fused_leaves)
+    for a, b in zip(ref_leaves, fused_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+
+
 def test_ema_update_cadence():
     params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
     statics = dit.DiTStatics(ARCH)
