@@ -42,6 +42,9 @@ class BackboneDef(NamedTuple):
     statics_cls: type       # arch -> statics (constant tables)
     forward: Callable       # (params, statics, x, cond, text, time, ...) -> flow
     precompute_text_embeds: Callable  # (params, statics, text, n, lengths, dtype) -> (cond, uncond)
+    # (params, t_values [S], batch, dtype) -> at(i) giving step-i AdaLN mods
+    # (None for backbones without AdaLN, e.g. UNetT's time token)
+    precompute_mods: Optional[Callable] = None
 
 
 def _dit_text_embeds(params, statics, text, n, lengths, dtype):
@@ -76,13 +79,20 @@ def _make_backbones():
     from f5tts_tpu.models.mmdit import MMDiTStatics, init_mmdit, mmdit_forward
     from f5tts_tpu.models.unett import UNetTStatics, init_unett, unett_forward
 
+    from f5tts_tpu.models.mmdit import mmdit_precompute_t_mods
+
+    def _dit_mods(params, t_values, batch, dtype):
+        block_mods, final_mods = dit.precompute_t_mods(params, t_values, batch,
+                                                       dtype=dtype)
+        return lambda i: (block_mods[:, i], final_mods[i])
+
     return {
         "DiT": BackboneDef("DiT", dit.init_dit, dit.DiTStatics, dit.dit_forward,
-                           _dit_text_embeds),
+                           _dit_text_embeds, _dit_mods),
         "UNetT": BackboneDef("UNetT", init_unett, UNetTStatics, unett_forward,
-                             _unett_text_embeds),
+                             _unett_text_embeds),  # time token, no AdaLN
         "MMDiT": BackboneDef("MMDiT", init_mmdit, MMDiTStatics, mmdit_forward,
-                             _mmdit_text_embeds),
+                             _mmdit_text_embeds, mmdit_precompute_t_mods),
     }
 
 
@@ -208,21 +218,21 @@ def _sample_scan(
 
     # every step's t is known here, so ALL timestep-AdaLN work (41% of DiT
     # weight bytes otherwise re-read each step) is hoisted out of the scan
-    hoist_mods = bdef.name == "DiT"
-    if hoist_mods:
+    # (DiT and MMDiT; UNetT's time rides the sequence as a token)
+    mods_at = None
+    if bdef.precompute_mods is not None:
         if method == "euler":
             t_values = t_grid[:steps]
         else:  # midpoint evaluates at t and t + dt/2; v2 index = steps + i
             dts = t_grid[1:] - t_grid[:-1]
             t_values = jnp.concatenate([t_grid[:steps],
                                         t_grid[:steps] + 0.5 * dts])
-        block_mods, final_mods = dit.precompute_t_mods(
-            params, t_values, 2 * b, dtype=dtype)
+        mods_at = bdef.precompute_mods(params, t_values, 2 * b, dtype)
 
     def flow_fn(x, t_scalar, t_idx):
         kw = {}
-        if hoist_mods:
-            kw["t_mods"] = (block_mods[:, t_idx], final_mods[t_idx])
+        if mods_at is not None:
+            kw["t_mods"] = mods_at(t_idx)
         pred_cfg = bdef.forward(
             params, statics, x, step_cond, text, t_scalar,
             lengths=lengths, cfg_infer=True, text_embeds=(te_cond, te_uncond),

@@ -13,12 +13,16 @@ MMDiTBlock / JointAttnProcessor (src/f5_tts/model/modules.py:563-705, 763-846):
 
 The depth-1 uniform blocks run as a stacked lax.scan; the structurally
 different last block runs unrolled. Joint attention uses an explicit
-key-mask (audio prefix + text prefix), XLA path.
+key-mask (audio prefix + text prefix) and routes through the key-masked
+Pallas flash kernel on TPU (ops.attention.masked_flash_attention; the text
+stream is padded to keep the joint sequence 128-aligned). ALL AdaLN
+modulation matmuls are hoisted out of the block scan (mmdit_hoist_t_mods /
+mmdit_precompute_t_mods) — the sampler computes them once for every ODE
+step.
 """
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
@@ -26,7 +30,6 @@ import jax.numpy as jnp
 
 from f5tts_tpu.config import ModelArch
 from f5tts_tpu.models import modules as m
-from f5tts_tpu.ops.attention import NEG_INF
 from f5tts_tpu.ops.rope import apply_rotary, precompute_freqs_cis, rope_freqs_interleaved
 
 TEXT_PRECOMPUTE_MAX_POS = 1024  # reference mmdit.py:39
@@ -114,8 +117,17 @@ def mmdit_text_embedding(p, statics, text, drop_text=False, mask_padding=True, d
     return emb
 
 
-def _joint_attention(p, x, c, heads, rope_audio, rope_text, audio_kmask, text_kmask):
-    """modules.py:581-705: concat streams, attend, split."""
+def _joint_attention(p, x, c, heads, rope_audio, rope_text, audio_kmask,
+                     text_kmask, use_kernel=False):
+    """modules.py:581-705: concat streams, attend, split.
+
+    use_kernel routes the joint scores through the key-masked Pallas flash
+    kernel (ops.attention.masked_flash_attention: the audio padding sits in
+    the MIDDLE of the joint sequence, so prefix `lengths` can't express the
+    mask; the kernel consumes a [b, n+nt] additive bias row instead). Falls
+    back to the XLA path off-TPU or when n+nt isn't tile-aligned."""
+    from f5tts_tpu.ops.attention import masked_flash_attention, mha_reference_masked
+
     b, n, _ = x.shape
     nt = c.shape[1]
     wq = p["to_q"]["w"] if "w" in p["to_q"] else p["to_q"]["w_i8"]
@@ -146,15 +158,13 @@ def _joint_attention(p, x, c, heads, rope_audio, rope_text, audio_kmask, text_km
     kj = jnp.concatenate([k, ck], axis=2)
     vj = jnp.concatenate([v, cv], axis=2)
 
-    scale = 1.0 / math.sqrt(dh)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qj, kj, preferred_element_type=jnp.float32) * scale
-    if audio_kmask is not None or text_kmask is not None:
-        am = audio_kmask if audio_kmask is not None else jnp.ones((b, n), bool)
-        tm = text_kmask if text_kmask is not None else jnp.ones((b, nt), bool)
-        kmask = jnp.concatenate([am, tm], axis=1)  # [b, n+nt]
-        scores = jnp.where(kmask[:, None, None, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
-    o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(vj.dtype), vj)
+    am = audio_kmask if audio_kmask is not None else jnp.ones((b, n), bool)
+    tm = text_kmask if text_kmask is not None else jnp.ones((b, nt), bool)
+    kmask = jnp.concatenate([am, tm], axis=1)  # [b, n+nt]
+    if use_kernel:
+        o = masked_flash_attention(qj, kj, vj, kmask)
+    else:
+        o = mha_reference_masked(qj, kj, vj, kmask)
     o = o.transpose(0, 2, 1, 3).reshape(b, n + nt, heads * dh)
 
     xo, co = o[:, :n], o[:, n:]
@@ -168,19 +178,23 @@ def _joint_attention(p, x, c, heads, rope_audio, rope_text, audio_kmask, text_km
     return xo, co
 
 
-def _mmdit_block(blk, x, c, t_emb, heads, rope_audio, rope_text,
-                 audio_kmask, text_kmask, context_pre_only=False):
-    """modules.py:816-846."""
+def _mmdit_block(blk, x, c, mods_x, mods_c, heads, rope_audio, rope_text,
+                 audio_kmask, text_kmask, context_pre_only=False,
+                 use_kernel=False):
+    """modules.py:816-846. `mods_x`/`mods_c` are the precomputed AdaLN
+    modulation vectors ([b, 6*dim]; [b, 2*dim] for the context_pre_only last
+    block) — see mmdit_hoist_t_mods."""
     if context_pre_only:
-        norm_c = m.adaln_final(blk["attn_norm_c"], c, t_emb)
+        norm_c = m.adaln_final(blk["attn_norm_c"], c, None, mod=mods_c)
     else:
-        c_sm, c_ss, c_gm, c_s2, c_sc2, c_g2 = m.adaln_modulation(blk["attn_norm_c"], t_emb)
+        c_sm, c_ss, c_gm, c_s2, c_sc2, c_g2 = jnp.split(mods_c, 6, axis=-1)
         norm_c = m.adaln_pre(c, c_sm, c_ss)
-    x_sm, x_ss, x_gm, x_s2, x_sc2, x_g2 = m.adaln_modulation(blk["attn_norm_x"], t_emb)
+    x_sm, x_ss, x_gm, x_s2, x_sc2, x_g2 = jnp.split(mods_x, 6, axis=-1)
     norm_x = m.adaln_pre(x, x_sm, x_ss)
 
     x_attn, c_attn = _joint_attention(blk["attn"], norm_x, norm_c, heads,
-                                      rope_audio, rope_text, audio_kmask, text_kmask)
+                                      rope_audio, rope_text, audio_kmask,
+                                      text_kmask, use_kernel=use_kernel)
 
     if context_pre_only:
         c = None
@@ -193,6 +207,53 @@ def _mmdit_block(blk, x, c, t_emb, heads, rope_audio, rope_text,
     norm_x = m.adaln_pre(x, x_s2, x_sc2)
     x = x + x_g2[:, None, :] * m.feed_forward(blk["ff_x"], norm_x)
     return x, c
+
+
+def mmdit_hoist_t_mods(params: m.Params, t_emb: jax.Array) -> dict:
+    """Hoist EVERY AdaLN modulation matmul out of the block scan.
+
+    t_emb [..., dim] (any leading batch shape) -> mods dict; the stacked
+    per-block linears collapse into one einsum over the depth-stacked
+    weights (same trick as dit.hoist_t_mods / precompute_t_mods). The
+    sampler calls this once for all ODE steps; the training step once per
+    step, outside the remat region."""
+    h = jax.nn.silu(t_emb)
+
+    def mod(p_adaln):
+        w = p_adaln["linear"]["w"].astype(h.dtype)
+        bias = p_adaln["linear"]["b"].astype(h.dtype)
+        if w.ndim == 3:  # stacked [L, d, k]
+            out = jnp.einsum("...d,ldk->l...k", h, w)
+            return out + bias.reshape((bias.shape[0],) + (1,) * (h.ndim - 1)
+                                      + (bias.shape[-1],))
+        return h @ w + bias
+
+    return {
+        "blocks_x": mod(params["blocks"]["attn_norm_x"]),
+        "blocks_c": mod(params["blocks"]["attn_norm_c"]),
+        "last_x": mod(params["last_block"]["attn_norm_x"]),
+        "last_c": mod(params["last_block"]["attn_norm_c"]),
+        "final": mod(params["norm_out"]),
+    }
+
+
+def mmdit_precompute_t_mods(params: m.Params, t_values: jax.Array, batch: int,
+                            dtype=jnp.bfloat16):
+    """All-steps AdaLN hoist for the sampler: returns `at(i)` giving the
+    step-i mods dict (counterpart of dit.precompute_t_mods)."""
+    s = t_values.shape[0]
+    t_flat = jnp.broadcast_to(t_values[:, None], (s, batch)).reshape(-1)
+    emb = m.timestep_embedding(params["time_embed"], t_flat, dtype=dtype)
+    mods = mmdit_hoist_t_mods(params, emb.reshape(s, batch, -1))
+
+    def at(i):
+        return {
+            "blocks_x": mods["blocks_x"][:, i], "blocks_c": mods["blocks_c"][:, i],
+            "last_x": mods["last_x"][i], "last_c": mods["last_c"][i],
+            "final": mods["final"][i],
+        }
+
+    return at
 
 
 def mmdit_forward(
@@ -209,6 +270,7 @@ def mmdit_forward(
     text_embeds: Optional[tuple] = None,
     dtype=jnp.float32,
     backend: str = "xla",
+    t_mods: Optional[dict] = None,  # precomputed AdaLN mods (mmdit_hoist_t_mods)
 ) -> jax.Array:
     """Reference mmdit.py:214-262."""
     arch = statics.arch
@@ -217,7 +279,8 @@ def mmdit_forward(
     if time.ndim == 0:
         time = jnp.broadcast_to(time, (b,))
 
-    t_emb = m.timestep_embedding(params["time_embed"], time, dtype=dtype)
+    t_emb = (None if t_mods is not None
+             else m.timestep_embedding(params["time_embed"], time, dtype=dtype))
     x = x.astype(dtype)
     cond = cond.astype(dtype)
 
@@ -244,7 +307,8 @@ def mmdit_forward(
             c_c, c_u = text_embeds
         h = jnp.concatenate([audio_embed(x, cond, False), audio_embed(x, cond, True)], 0)
         c = jnp.concatenate([c_c, c_u], axis=0)
-        t_emb = jnp.concatenate([t_emb, t_emb], axis=0)
+        if t_emb is not None:
+            t_emb = jnp.concatenate([t_emb, t_emb], axis=0)
         c_kmask = jnp.concatenate([c_kmask, c_kmask], axis=0)
         if audio_kmask is not None:
             audio_kmask = jnp.concatenate([audio_kmask, audio_kmask], axis=0)
@@ -256,20 +320,41 @@ def mmdit_forward(
             c = text_embeds[1] if (drop_text is True) else text_embeds[0]
         h = audio_embed(x, cond, drop_audio_cond)
 
-    rope_audio = statics.rope_angles[:n]
-    rope_text = statics.rope_angles[:nt]
+    # pad the text stream to a 128 multiple so the joint sequence stays
+    # tile-aligned for the masked flash kernel (pad keys masked via c_kmask)
+    use_kernel = backend == "pallas" and jax.default_backend() == "tpu"
+    if use_kernel and (n + c.shape[1]) % 128 != 0:
+        nt_pad = -(-(n + c.shape[1]) // 128) * 128 - n
+        c = jnp.pad(c, ((0, 0), (0, nt_pad - c.shape[1]), (0, 0)))
+        c_kmask = jnp.pad(c_kmask, ((0, 0), (0, nt_pad - c_kmask.shape[1])))
 
-    def body(carry, blk):
+    rope_audio = statics.rope_angles[:n]
+    rope_text = statics.rope_angles[:c.shape[1]]
+
+    if t_mods is None:
+        # hoist the AdaLN modulation matmuls out of the (possibly remat'd)
+        # block scan — they ride the scan as precomputed inputs
+        t_mods = mmdit_hoist_t_mods(params, t_emb)
+
+    def body(carry, scanned):
+        blk, mx, mc = scanned
         xx, cc = carry
-        xx, cc = _mmdit_block(blk, xx, cc, t_emb, arch.heads, rope_audio, rope_text,
-                              audio_kmask, c_kmask, context_pre_only=False)
+        xx, cc = _mmdit_block(blk, xx, cc, mx, mc, arch.heads, rope_audio,
+                              rope_text, audio_kmask, c_kmask,
+                              context_pre_only=False, use_kernel=use_kernel)
         return (xx, cc), None
 
+    if arch.checkpoint_activations:
+        body = jax.checkpoint(body)
     unroll = 1 if arch.checkpoint_activations else arch.depth - 1
-    (h, c), _ = jax.lax.scan(body, (h, c), params["blocks"], unroll=max(unroll, 1))
-    h, _ = _mmdit_block(params["last_block"], h, c, t_emb, arch.heads,
-                        rope_audio, rope_text, audio_kmask, c_kmask,
-                        context_pre_only=True)
+    (h, c), _ = jax.lax.scan(
+        body, (h, c),
+        (params["blocks"], t_mods["blocks_x"], t_mods["blocks_c"]),
+        unroll=max(unroll, 1))
+    h, _ = _mmdit_block(params["last_block"], h, c, t_mods["last_x"],
+                        t_mods["last_c"], arch.heads, rope_audio, rope_text,
+                        audio_kmask, c_kmask, context_pre_only=True,
+                        use_kernel=use_kernel)
 
-    h = m.adaln_final(params["norm_out"], h, t_emb)
+    h = m.adaln_final(params["norm_out"], h, None, mod=t_mods["final"])
     return m.linear(params["proj_out"], h).astype(jnp.float32)
