@@ -226,6 +226,33 @@ def run_asr_wer(lang: str, wav_truth_pairs: list[tuple], device: str = "cpu") ->
     return results
 
 
+def _asr_wer_worker(args):
+    lang, chunk, device = args
+    return run_asr_wer(lang, chunk, device)
+
+
+def run_asr_wer_pooled(lang: str, wav_truth_pairs: list[tuple],
+                       n_procs: int | None = None,
+                       device: str = "cpu") -> list[dict]:
+    """ASR scoring fanned out over a worker pool (one ASR model per process),
+    mirroring the reference's per-GPU multiprocessing pool
+    (eval_librispeech_test_clean.py:77-87, utils_eval.py:232-241). On a TPU
+    host the ASR backends are CPU torch models, so the pool is sized to the
+    host cores instead of a GPU count."""
+    import multiprocessing as mp
+
+    n = n_procs or max(1, min((os.cpu_count() or 2) - 1, 8))
+    if n <= 1 or len(wav_truth_pairs) < 2:
+        return run_asr_wer(lang, wav_truth_pairs, device)
+    chunks = [wav_truth_pairs[i::n] for i in range(n)]
+    chunks = [c for c in chunks if c]
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(len(chunks)) as pool:
+        parts = pool.map(_asr_wer_worker,
+                         [(lang, c, device) for c in chunks])
+    return [r for part in parts for r in part]
+
+
 def run_sim(wav_pairs: list[tuple], ckpt_path: str, device: str = "cpu") -> list[dict]:
     """Speaker similarity via WavLM-large ECAPA-TDNN cosine at 16 kHz
     (reference :380-426). Requires the wavlm finetuned checkpoint."""
@@ -236,9 +263,13 @@ def run_sim(wav_pairs: list[tuple], ckpt_path: str, device: str = "cpu") -> list
     except ImportError as e:
         raise RuntimeError("torch + ecapa model required for SIM") from e
 
+    from f5tts_tpu.eval.ecapa_tdnn import load_reference_checkpoint
+
     model = ECAPA_TDNN_SMALL(feat_dim=1024, feat_type="wavlm_large")
-    state = torch.load(ckpt_path, map_location="cpu", weights_only=True)
-    model.load_state_dict(state["model"], strict=False)
+    # strict key-mapped load (incl. the fine-tuned WavLM weights the ckpt
+    # carries): hard-errors if <99% of checkpoint tensors are consumed, so
+    # SIM can never silently score with random weights
+    load_reference_checkpoint(model, ckpt_path)
     model = model.to(device).eval()
 
     results = []
