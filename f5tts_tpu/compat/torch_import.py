@@ -233,6 +233,54 @@ def convert_backbone_state_dict(sd: Mapping, arch: ModelArch,
         "(the reference publishes DiT (F5-TTS) and UNetT (E2-TTS) checkpoints only)")
 
 
+# keys a reference checkpoint carries that the converted model never uses:
+# mel_spec STFT buffers, the x_transformers rotary frequency parameter (we
+# precompute rope tables), EMA bookkeeping scalars
+_IGNORED_CKPT_KEYS = ("mel_spec.", "rotary_embed.freqs", "freqs_cis",
+                      "initted", "step")
+
+
+class _TrackedStateDict(Mapping):
+    """Read-through wrapper recording which checkpoint keys the converter
+    consumed — the parity gate fails on unconsumed weight tensors."""
+
+    def __init__(self, sd: Mapping):
+        self._sd = sd
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return self._sd[k]
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def __len__(self):
+        return len(self._sd)
+
+
+def convert_backbone_state_dict_audited(
+    sd: Mapping, arch: ModelArch, backbone: str = "DiT",
+) -> tuple[dict, list[str]]:
+    """Convert + account: returns (params, unconsumed weight keys).
+
+    Every tensor the reference checkpoint schema carries
+    (utils_infer.py:190-232, convert_checkpoint.py schema) must either be
+    consumed by the converter or match a known-ignorable pattern; anything
+    else means the converter is silently dropping weights."""
+    tracked = _TrackedStateDict(sd)
+    params = convert_backbone_state_dict(tracked, arch, backbone)
+    unconsumed = [
+        k for k in sd
+        if k not in tracked.consumed
+        and not any(pat in k for pat in _IGNORED_CKPT_KEYS)
+    ]
+    return params, unconsumed
+
+
 def convert_vocos_state_dict(sd: Mapping, num_layers: int = 8) -> dict:
     """charactr/vocos-mel-24khz state dict -> f5tts_tpu Vocos param pytree."""
     import jax

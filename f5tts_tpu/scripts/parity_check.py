@@ -1,0 +1,138 @@
+"""One-command weights-level parity gate against a reference checkpoint.
+
+BASELINE.md north star: "F5TTS_v1_Base mel outputs allclose vs reference at
+16/32 NFE under fixed seeds". This gate runs end-to-end the moment a real
+`SWivid/F5-TTS` checkpoint file is available:
+
+1. **Digestion audit** — convert the checkpoint with key accounting
+   (compat.torch_import.convert_backbone_state_dict_audited) and FAIL on any
+   unconsumed weight tensor (a silently-dropped weight means wrong audio with
+   no error).
+2. **Fixed-seed sampling** — run the jitted CFM sampler at 16 and 32 NFE
+   (euler, cfg 2.0, sway -1.0 — the reference eval protocol,
+   src/f5_tts/eval/eval_infer_batch.sh:5-11) on deterministic synthetic
+   prompts and print mel checksums.
+3. **Golden comparison** — with `--golden golden.npz` (mels exported from the
+   reference with scripts equivalent to its infer pipeline under the same
+   seeds), assert allclose and print per-config max/mean deltas;
+   with `--write-golden out.npz`, save this run's mels as the golden.
+
+Usage:
+    python -m f5tts_tpu.scripts.parity_check --ckpt model_1250000.safetensors \
+        [--model F5TTS_v1_Base] [--vocab path] [--golden golden.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+
+def build_fixed_inputs(arch, n: int = 1024, nt: int = 64, b: int = 1, seed: int = 0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    cond = jnp.asarray(rng.standard_normal((b, n, arch.mel_dim)) * 0.5, jnp.float32)
+    text = jnp.asarray(rng.integers(1, arch.text_num_embeds, (b, nt)), jnp.int32)
+    lens = jnp.full((b,), n // 4, jnp.int32)       # 1/4 prompt
+    duration = jnp.full((b,), n, jnp.int32)
+    return cond, text, lens, duration
+
+
+def run_configs(params, statics, nfe_list, seed: int = 0, dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from f5tts_tpu.models import cfm
+    from f5tts_tpu.utils import make_time_grid
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    arch = statics.arch
+    cond, text, lens, duration = build_fixed_inputs(arch)
+    outs = {}
+    for nfe in nfe_list:
+        t_grid = make_time_grid(nfe, sway_sampling_coef=-1.0)
+        mel = cfm.cfm_sample(
+            params, statics, cond, text, lens, duration, t_grid,
+            key=jax.random.PRNGKey(seed), cfg_strength=2.0, method="euler",
+            dtype=dtype, backend=backend)
+        outs[f"nfe{nfe}"] = np.asarray(mel, np.float32)
+    return outs
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--model", default="F5TTS_v1_Base")
+    ap.add_argument("--vocab", default="")
+    ap.add_argument("--nfe", type=int, nargs="+", default=[16, 32])
+    ap.add_argument("--golden", default="", help="golden .npz to compare against")
+    ap.add_argument("--write-golden", default="", help="write this run's mels")
+    ap.add_argument("--atol", type=float, default=2e-2)
+    ap.add_argument("--rtol", type=float, default=2e-2)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from f5tts_tpu.compat.torch_import import (
+        convert_backbone_state_dict_audited, load_torch_checkpoint)
+    from f5tts_tpu.config import PRESETS
+    from f5tts_tpu.models.cfm import BACKBONES
+    from f5tts_tpu.text.vocab import load_vocab
+
+    cfg = PRESETS[args.model]
+    if args.vocab:
+        vocab = load_vocab(args.vocab)
+    else:
+        from importlib.resources import files
+
+        vocab = load_vocab(str(files("f5tts_tpu").joinpath("data/vocab_emilia_pinyin.txt")))
+    arch = dataclasses.replace(cfg.arch, text_num_embeds=len(vocab))
+
+    # 1. digestion audit
+    sd = load_torch_checkpoint(args.ckpt)
+    params, unconsumed = convert_backbone_state_dict_audited(sd, arch, cfg.backbone)
+    n_leaves = len(jax.tree.leaves(params))
+    print(f"[parity] converted {len(sd)} checkpoint tensors -> {n_leaves} param leaves")
+    if unconsumed:
+        print(f"[parity] FAIL: {len(unconsumed)} unconsumed weight tensors:")
+        for k in unconsumed[:20]:
+            print(f"  - {k}")
+        sys.exit(2)
+    print("[parity] digestion audit OK: zero unconsumed weight tensors")
+
+    # 2. fixed-seed sampling
+    statics = BACKBONES[cfg.backbone].statics_cls(arch)
+    outs = run_configs(params, statics, args.nfe)
+    for name, mel in outs.items():
+        print(f"[parity] {name}: mel shape {mel.shape} "
+              f"checksum {float(np.sum(mel)):.6f} mean {float(np.mean(mel)):.6f}")
+        if not np.all(np.isfinite(mel)):
+            print(f"[parity] FAIL: non-finite mel at {name}")
+            sys.exit(2)
+
+    # 3. golden comparison
+    if args.write_golden:
+        np.savez(args.write_golden, **outs)
+        print(f"[parity] wrote golden {args.write_golden}")
+    if args.golden:
+        golden = np.load(args.golden)
+        failed = False
+        for name, mel in outs.items():
+            ref = golden[name]
+            d = np.abs(mel - ref)
+            ok = np.allclose(mel, ref, atol=args.atol, rtol=args.rtol)
+            print(f"[parity] {name}: max|d|={d.max():.4e} mean|d|={d.mean():.4e} "
+                  f"{'OK' if ok else 'FAIL'}")
+            failed |= not ok
+        sys.exit(2 if failed else 0)
+    print("[parity] PASS (no golden provided; checksums above)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Weights parity gate: synthetic reference-format checkpoint round-trip.
+
+Builds a state dict with EVERY key the reference DiT/UNetT checkpoint schema
+carries (src/f5_tts/infer/utils_infer.py:190-232 naming; shapes from the
+reference module definitions) plus the non-weight buffers real checkpoints
+include (mel_spec STFT buffers, rotary freqs, EMA bookkeeping), runs it
+through the audited converter, and asserts ZERO unconsumed weight tensors and
+an exactly init-shaped parameter tree.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from f5tts_tpu.compat.torch_import import (
+    convert_backbone_state_dict_audited,
+    extract_ema_state_dict,
+)
+from f5tts_tpu.config import ModelArch
+from f5tts_tpu.models import dit
+from f5tts_tpu.models.unett import init_unett
+
+
+def _rand(shape):
+    return np.random.default_rng(abs(hash(shape)) % 2**32).standard_normal(
+        shape).astype(np.float32)
+
+
+def _lin_keys(sd, name, d_in, d_out, bias=True):
+    sd[f"{name}.weight"] = _rand((d_out, d_in))
+    if bias:
+        sd[f"{name}.bias"] = _rand((d_out,))
+
+
+def _conv_keys(sd, name, c_in, c_out, k, groups=1):
+    sd[f"{name}.weight"] = _rand((c_out, c_in // groups, k))
+    sd[f"{name}.bias"] = _rand((c_out,))
+
+
+def _convnext_keys(sd, prefix, dim, inter):
+    _conv_keys(sd, f"{prefix}.dwconv", dim, dim, 7, groups=dim)
+    sd[f"{prefix}.norm.weight"] = _rand((dim,))
+    sd[f"{prefix}.norm.bias"] = _rand((dim,))
+    _lin_keys(sd, f"{prefix}.pwconv1", dim, inter)
+    sd[f"{prefix}.grn.gamma"] = _rand((1, 1, inter))
+    sd[f"{prefix}.grn.beta"] = _rand((1, 1, inter))
+    _lin_keys(sd, f"{prefix}.pwconv2", inter, dim)
+
+
+def _common_keys(sd, arch, t="transformer"):
+    text_dim = arch.text_dim or arch.mel_dim
+    _lin_keys(sd, f"{t}.time_embed.time_mlp.0", 256, arch.dim)
+    _lin_keys(sd, f"{t}.time_embed.time_mlp.2", arch.dim, arch.dim)
+    sd[f"{t}.text_embed.text_embed.weight"] = _rand(
+        (arch.text_num_embeds + 1, text_dim))
+    for i in range(arch.conv_layers):
+        _convnext_keys(sd, f"{t}.text_embed.text_blocks.{i}", text_dim,
+                       text_dim * arch.conv_mult)
+    _lin_keys(sd, f"{t}.input_embed.proj", arch.mel_dim * 2 + text_dim, arch.dim)
+    _conv_keys(sd, f"{t}.input_embed.conv_pos_embed.conv1d.0",
+               arch.dim, arch.dim, 31, groups=16)
+    _conv_keys(sd, f"{t}.input_embed.conv_pos_embed.conv1d.2",
+               arch.dim, arch.dim, 31, groups=16)
+    _lin_keys(sd, f"{t}.proj_out", arch.dim, arch.mel_dim)
+    # non-weight buffers every real checkpoint carries
+    sd["mel_spec.mel_stft.mel_scale.fb"] = _rand((513, arch.mel_dim))
+    sd["mel_spec.mel_stft.spectrogram.window"] = _rand((1024,))
+    sd[f"{t}.rotary_embed.freqs"] = _rand((arch.dim_head // 2,))
+
+
+def _reference_dit_sd(arch):
+    sd = {}
+    t = "transformer"
+    _common_keys(sd, arch)
+    inner = arch.heads * arch.dim_head
+    for i in range(arch.depth):
+        b = f"{t}.transformer_blocks.{i}"
+        _lin_keys(sd, f"{b}.attn_norm.linear", arch.dim, 6 * arch.dim)
+        for proj in ("to_q", "to_k", "to_v"):
+            _lin_keys(sd, f"{b}.attn.{proj}", arch.dim, inner)
+        _lin_keys(sd, f"{b}.attn.to_out.0", inner, arch.dim)
+        if arch.qk_norm == "rms_norm":
+            sd[f"{b}.attn.q_norm.weight"] = _rand((arch.dim_head,))
+            sd[f"{b}.attn.k_norm.weight"] = _rand((arch.dim_head,))
+        _lin_keys(sd, f"{b}.ff.ff.0.0", arch.dim, arch.dim * arch.ff_mult)
+        _lin_keys(sd, f"{b}.ff.ff.2", arch.dim * arch.ff_mult, arch.dim)
+    _lin_keys(sd, f"{t}.norm_out.linear", arch.dim, 2 * arch.dim)
+    if arch.long_skip_connection:
+        _lin_keys(sd, f"{t}.long_skip_connection", arch.dim * 2, arch.dim,
+                  bias=False)
+    return sd
+
+
+def _reference_unett_sd(arch):
+    sd = {}
+    t = "transformer"
+    _common_keys(sd, arch)
+    inner = arch.heads * arch.dim_head
+    half = arch.depth // 2
+    for i in range(arch.depth):
+        b = f"{t}.layers.{i}"
+        if i >= half and arch.skip_connect_type == "concat":
+            _lin_keys(sd, f"{b}.0", arch.dim * 2, arch.dim, bias=False)
+        sd[f"{b}.1.weight"] = _rand((arch.dim,))
+        for proj in ("to_q", "to_k", "to_v"):
+            _lin_keys(sd, f"{b}.2.{proj}", arch.dim, inner)
+        _lin_keys(sd, f"{b}.2.to_out.0", inner, arch.dim)
+        sd[f"{b}.3.weight"] = _rand((arch.dim,))
+        _lin_keys(sd, f"{b}.4.ff.0.0", arch.dim, arch.dim * arch.ff_mult)
+        _lin_keys(sd, f"{b}.4.ff.2", arch.dim * arch.ff_mult, arch.dim)
+    sd[f"{t}.norm_out.weight"] = _rand((arch.dim,))
+    return sd
+
+
+DIT_ARCH = ModelArch(dim=64, depth=3, heads=2, dim_head=32, ff_mult=2,
+                     mel_dim=16, text_num_embeds=40, text_dim=24, conv_layers=2)
+
+
+@pytest.mark.parametrize("long_skip,qk_norm", [(False, None), (True, "rms_norm")])
+def test_dit_checkpoint_fully_consumed(long_skip, qk_norm):
+    arch = dataclasses.replace(DIT_ARCH, long_skip_connection=long_skip,
+                               qk_norm=qk_norm)
+    sd = _reference_dit_sd(arch)
+    params, unconsumed = convert_backbone_state_dict_audited(sd, arch, "DiT")
+    assert unconsumed == []
+    # exactly init-shaped
+    ref = dit.init_dit(jax.random.PRNGKey(0), arch)
+    got = jax.tree.map(lambda a: a.shape, params)
+    want = jax.tree.map(lambda a: a.shape, ref)
+    assert got == want
+
+
+def test_unett_checkpoint_fully_consumed():
+    arch = dataclasses.replace(DIT_ARCH, depth=4, skip_connect_type="concat")
+    sd = _reference_unett_sd(arch)
+    params, unconsumed = convert_backbone_state_dict_audited(sd, arch, "UNetT")
+    assert unconsumed == []
+    ref = init_unett(jax.random.PRNGKey(0), arch)
+    got = jax.tree.map(lambda a: a.shape, params)
+    want = jax.tree.map(lambda a: a.shape, ref)
+    assert got == want
+
+
+def test_unconsumed_keys_detected():
+    sd = _reference_dit_sd(DIT_ARCH)
+    sd["transformer.some_new_module.weight"] = _rand((4, 4))
+    _, unconsumed = convert_backbone_state_dict_audited(sd, DIT_ARCH, "DiT")
+    assert unconsumed == ["transformer.some_new_module.weight"]
+
+
+def test_ema_prefix_round_trip():
+    sd = _reference_dit_sd(DIT_ARCH)
+    ckpt = {"ema_model_state_dict":
+            {("ema_model." + k): v for k, v in sd.items()}}
+    ckpt["ema_model_state_dict"]["initted"] = np.ones((), np.bool_)
+    ckpt["ema_model_state_dict"]["step"] = np.zeros((), np.int64)
+    flat = extract_ema_state_dict(ckpt)
+    params, unconsumed = convert_backbone_state_dict_audited(flat, DIT_ARCH, "DiT")
+    assert unconsumed == []
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(params)[0]).shape,
+        np.asarray(jax.tree.leaves(
+            convert_backbone_state_dict_audited(sd, DIT_ARCH, "DiT")[0])[0]).shape)
