@@ -145,28 +145,114 @@ class CustomDataset:
         return Sample(mel=self.mel(wav), text=row["text"])
 
 
-def load_dataset(
-    dataset_name: str,
-    tokenizer: str = "pinyin",
-    mel_cfg: MelConfig = MelConfig(),
-    data_root: Optional[str] = None,
-) -> CustomDataset:
-    """Resolve data/<name>_<tokenizer>/{raw.arrow, duration.json}
-    (reference dataset.py:247-307)."""
+class HFDataset:
+    """Streaming-style wrapper over a huggingface dataset with an `audio`
+    column ({"array", "sampling_rate"}) and a `text` column — mel computed
+    on the fly (reference dataset.py:17-56). Resampling goes through
+    audio_io.resample (stateless polyphase; the reference caches torchaudio
+    Resample modules per rate — ours needs no per-rate state)."""
+
+    def __init__(self, data, mel_cfg: MelConfig = MelConfig()):
+        self.data = data
+        self.mel_cfg = mel_cfg
+        self.mel = NumpyMel(mel_cfg)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def get_frame_len(self, index: int) -> float:
+        cfg = self.mel_cfg
+        row = self.data[index]
+        audio = row["audio"]
+        return (len(audio["array"]) / audio["sampling_rate"]
+                * cfg.target_sample_rate / cfg.hop_length)
+
+    def _resolve_index(self, index: int) -> int:
+        while True:
+            audio = self.data[index]["audio"]
+            duration = len(audio["array"]) / audio["sampling_rate"]
+            if 0.3 <= duration <= 30.0:  # ref dataset.py:57-58
+                return index
+            index = (index + 1) % len(self.data)
+
+    def get_text(self, index: int) -> str:
+        return self.data[self._resolve_index(index)]["text"]
+
+    def __getitem__(self, index: int) -> Sample:
+        cfg = self.mel_cfg
+        row = self.data[self._resolve_index(index)]
+        audio = row["audio"]
+        wav = np.asarray(audio["array"], np.float32)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=0)
+        from f5tts_tpu.infer import audio_io
+
+        wav = audio_io.resample(wav, audio["sampling_rate"], cfg.target_sample_rate)
+        return Sample(mel=self.mel(wav), text=row["text"])
+
+
+def _load_arrow_dir(d: str, audio_type: str = "raw"):
+    """data dir -> (hf dataset, durations|None, preprocessed_mel)."""
     import datasets as hf_datasets
 
-    root = data_root or os.environ.get("F5TTS_DATA_ROOT", "data")
-    d = os.path.join(root, f"{dataset_name}_{tokenizer}")
-    if os.path.isdir(os.path.join(d, "raw")):
+    if audio_type == "mel":
+        data = hf_datasets.Dataset.from_file(os.path.join(d, "mel.arrow"))
+        preprocessed = True
+    elif os.path.isdir(os.path.join(d, "raw")):
         data = hf_datasets.load_from_disk(os.path.join(d, "raw"))
+        preprocessed = False
     else:
         data = hf_datasets.Dataset.from_file(os.path.join(d, "raw.arrow"))
+        preprocessed = False
     durations = None
     dur_path = os.path.join(d, "duration.json")
     if os.path.exists(dur_path):
         with open(dur_path) as f:
             durations = json.load(f)["duration"]
-    return CustomDataset(data, durations=durations, mel_cfg=mel_cfg)
+    return data, durations, preprocessed
+
+
+def load_dataset(
+    dataset_name: str,
+    tokenizer: str = "pinyin",
+    mel_cfg: MelConfig = MelConfig(),
+    data_root: Optional[str] = None,
+    dataset_type: str = "CustomDataset",
+    audio_type: str = "raw",
+) -> "CustomDataset | HFDataset":
+    """Resolve a training dataset (reference dataset.py:247-307).
+
+    - "CustomDataset": data/<name>_<tokenizer>/{raw[.arrow]|mel.arrow,
+      duration.json} under `data_root` (or $F5TTS_DATA_ROOT)
+    - "CustomDatasetPath": `dataset_name` IS the directory (no tokenizer
+      suffix), same layout
+    - "HFDataset": `dataset_name` = "<repo>_<split>" pulled via
+      datasets.load_dataset (network-gated; pass a local cache via
+      $HF_DATASETS_CACHE for offline use)
+    """
+    if dataset_type == "CustomDataset":
+        root = data_root or os.environ.get("F5TTS_DATA_ROOT", "data")
+        d = os.path.join(root, f"{dataset_name}_{tokenizer}")
+        data, durations, preprocessed = _load_arrow_dir(d, audio_type)
+        return CustomDataset(data, durations=durations, mel_cfg=mel_cfg,
+                             preprocessed_mel=preprocessed)
+    if dataset_type == "CustomDatasetPath":
+        data, durations, preprocessed = _load_arrow_dir(dataset_name, audio_type)
+        return CustomDataset(data, durations=durations, mel_cfg=mel_cfg,
+                             preprocessed_mel=preprocessed)
+    if dataset_type == "HFDataset":
+        import datasets as hf_datasets
+
+        pre, post = dataset_name.rsplit("_", 1)
+        try:
+            data = hf_datasets.load_dataset(f"{pre}/{pre}", split=f"train.{post}")
+        except Exception as e:  # network-gated (zero-egress environments)
+            raise RuntimeError(
+                f"HFDataset '{pre}/{pre}' (split train.{post}) could not be "
+                "loaded — hub access or a populated $HF_DATASETS_CACHE is "
+                "required") from e
+        return HFDataset(data, mel_cfg=mel_cfg)
+    raise ValueError(f"unknown dataset_type {dataset_type!r}")
 
 
 # ---------------------------------------------------------------------------

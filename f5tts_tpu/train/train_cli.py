@@ -73,7 +73,9 @@ def main(argv=None):
                               if mcfg.backbone == "DiT" else None)
 
     dataset = load_dataset(tcfg.dataset_name, tokenizer, mcfg.mel_spec,
-                           data_root=args.data_root)
+                           data_root=args.data_root,
+                           dataset_type=tcfg.dataset_type,
+                           audio_type=tcfg.audio_type)
 
     # reference epoch math: updates/epoch from the sampler, total for the lr ramp
     trainer = Trainer(
