@@ -1,18 +1,18 @@
-"""Gradio finetuning workbench.
+"""Gradio finetuning workbench — thin UI shell over train/workbench.py.
 
-Compact rebuild of reference src/f5_tts/train/finetune_gradio.py (1.9k LoC):
-project directories, dataset creation from audio+transcript pairs, vocab
-check/extension, batch-size calculator, training launched as a subprocess of
-the finetune CLI, and checkpoint pruning to inference-only safetensors.
-
-Whisper transcription and audio slicing are available when their optional
-dependencies are installed. gradio is optional; importing without it raises.
+The reference ships this as a 1.9k-line monolith
+(src/f5_tts/train/finetune_gradio.py); here ALL dataset/vocab/calculator
+logic lives in UI-independent, CPU-tested functions (train/workbench.py:
+Slicer, transcribe_directory, create_metadata, calculate_train,
+vocab_check/vocab_extend, expand_reference_checkpoint_embeddings) and this
+module only wires them to gradio widgets plus the training subprocess
+launcher and checkpoint pruning. gradio is optional; importing without it
+raises with a clear message.
 """
 
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import subprocess
 import sys
@@ -22,67 +22,55 @@ try:
 except ImportError as e:  # pragma: no cover - optional dep
     raise ImportError("gradio is required: pip install gradio") from e
 
-import numpy as np
-
-from f5tts_tpu.infer import audio_io
+from f5tts_tpu.train import workbench as wb
 
 PROJECT_ROOT = os.environ.get("F5TTS_FINETUNE_ROOT", "finetune_projects")
 
 
 def project_dir(name: str) -> str:
-    d = os.path.join(PROJECT_ROOT, name)
-    os.makedirs(d, exist_ok=True)
+    d = os.path.join(PROJECT_ROOT, os.path.basename(name))
+    os.makedirs(os.path.join(d, "dataset"), exist_ok=True)
     return d
 
 
-def create_metadata(project: str, rows: list[tuple[str, str]]) -> str:
-    """audio path + transcript rows -> metadata.csv + arrow artifacts."""
-    d = project_dir(project)
-    meta = os.path.join(d, "metadata.csv")
-    with open(meta, "w", encoding="utf-8") as f:
-        f.write("audio_file|text\n")
-        for path, text in rows:
-            f.write(f"{path}|{text}\n")
-    from f5tts_tpu.train.datasets.prepare_csv_wavs import prepare
+# --- tab callbacks (each delegates to a tested workbench function) ---------
 
-    out = os.path.join("data", f"{project}_pinyin")
-    stats = prepare(d, out)
-    return f"dataset ready: {stats['samples']} samples, {stats['hours']:.2f} h -> {out}"
+def ui_transcribe(project: str, language: str) -> str:
+    stats = wb.transcribe_directory(project_dir(project), language or None)
+    return (f"transcribed {stats['segments']} segments "
+            f"({stats['errors']} errors)\nwavs: {stats['wavs_dir']}\n"
+            f"metadata: {stats['metadata']}")
 
 
-def check_vocab(project: str) -> str:
-    """Report tokens in the project dataset that are missing from the
-    pretrained vocab (reference vocab_check)."""
-    from importlib.resources import files
-
-    from f5tts_tpu.text.vocab import load_vocab
-
-    vocab = load_vocab(str(files("f5tts_tpu").joinpath("data/vocab_emilia_pinyin.txt")))
-    meta = os.path.join(project_dir(project), "metadata.csv")
-    missing = set()
-    with open(meta, encoding="utf-8") as f:
-        next(f)
-        for line in f:
-            _, _, text = line.partition("|")
-            from f5tts_tpu.text.pinyin import convert_char_to_pinyin
-
-            for tok in convert_char_to_pinyin([text.strip()])[0]:
-                if tok not in vocab:
-                    missing.add(tok)
-    if not missing:
-        return "vocab OK: all tokens covered"
-    return f"{len(missing)} tokens missing (embedding will be extended): {sorted(missing)[:50]}"
+def ui_prepare(project: str, char_tokenizer: bool) -> str:
+    res = wb.create_metadata(project_dir(project), ch_tokenizer=char_tokenizer)
+    err = "\n".join(" = ".join(e) for e in res.errors)
+    return (f"prepare complete\nsamples: {res.samples}\n"
+            f"time data: {wb.format_seconds_to_hms(res.total_seconds)}\n"
+            f"min sec: {res.min_seconds}\nmax sec: {res.max_seconds}\n"
+            f"arrow: {res.arrow_path}\nvocab: {res.vocab_size}\n{err}")
 
 
-def calculate_train(gpu_mem_gb: float = 16.0, secs_avg: float = 8.0) -> dict:
-    """Frame-budget suggestion (reference calculate_train heuristic)."""
-    frames_per_gb = 2800
-    budget = int(gpu_mem_gb * frames_per_gb)
-    return {
-        "batch_size_per_gpu (frames)": budget,
-        "approx_samples_per_batch": int(budget / (secs_avg * 24000 / 256)),
-        "suggested_max_samples": 64,
-    }
+def ui_vocab_check(project: str, tokenizer_type: str) -> tuple[str, str]:
+    info, missing = wb.vocab_check(project_dir(project), tokenizer_type)
+    return info, ",".join(missing)
+
+
+def ui_vocab_extend(project: str, symbols: str, ckpt: str) -> str:
+    res = wb.vocab_extend(project_dir(project),
+                          [s for s in symbols.split(",") if s.strip()],
+                          ckpt_path=ckpt or None)
+    out = (f"vocab old size: {res['old_size']}\nvocab new size: {res['new_size']}\n"
+           f"added: {res['added']}\nvocab: {res['vocab_path']}")
+    if "ckpt" in res:
+        out += f"\nexpanded checkpoint: {res['ckpt']}"
+    return out
+
+
+def ui_calculate(project: str, batch_size_type: str, finetune: bool) -> str:
+    out = wb.calculate_train(project_dir(project),
+                             batch_size_type=batch_size_type, finetune=finetune)
+    return "\n".join(f"{k}: {v}" for k, v in out.items())
 
 
 def start_training(project: str, exp_name: str, pretrain: str, lr: float,
@@ -116,18 +104,39 @@ def build_app() -> "gr.Blocks":
         gr.Markdown("# f5tts-tpu finetuning workbench")
         project = gr.Textbox(label="Project name", value="my_speaker")
 
-        with gr.Tab("Prepare Data"):
-            table = gr.Dataframe(headers=["audio_path", "text"], datatype=["str", "str"],
-                                 row_count=4, label="audio / transcript pairs")
-            btn_meta = gr.Button("Create dataset")
-            meta_out = gr.Textbox(label="Status")
-            btn_meta.click(lambda p, t: create_metadata(p, [tuple(r) for r in t.values.tolist() if r[0]]),
-                           [project, table], meta_out)
+        with gr.Tab("Transcribe Data"):
+            gr.Markdown(f"Drop audio under `{PROJECT_ROOT}/<project>/dataset/`; "
+                        "files are sliced on silence and whisper-transcribed.")
+            language = gr.Textbox(label="Language (blank = auto)", value="")
+            btn_tr = gr.Button("Transcribe + slice", variant="primary")
+            tr_out = gr.Textbox(label="Status", lines=4)
+            btn_tr.click(ui_transcribe, [project, language], tr_out)
 
-        with gr.Tab("Vocab Check"):
+        with gr.Tab("Prepare Data"):
+            char_tok = gr.Checkbox(label="Build char vocab from data "
+                                         "(off = pretrained pinyin vocab)")
+            btn_meta = gr.Button("Create raw.arrow + duration.json", variant="primary")
+            meta_out = gr.Textbox(label="Status", lines=8)
+            btn_meta.click(ui_prepare, [project, char_tok], meta_out)
+
+        with gr.Tab("Vocab Check / Extend"):
+            tok_type = gr.Radio(["pinyin", "char"], value="pinyin", label="Tokenizer")
             btn_vocab = gr.Button("Check vocab")
-            vocab_out = gr.Textbox(label="Result")
-            btn_vocab.click(check_vocab, [project], vocab_out)
+            vocab_info = gr.Textbox(label="Result")
+            vocab_miss = gr.Textbox(label="Missing symbols (comma separated)")
+            btn_vocab.click(ui_vocab_check, [project, tok_type],
+                            [vocab_info, vocab_miss])
+            ckpt_in = gr.Textbox(label="Checkpoint to expand (optional)")
+            btn_ext = gr.Button("Extend vocab (+ checkpoint embeddings)")
+            ext_out = gr.Textbox(label="Status", lines=4)
+            btn_ext.click(ui_vocab_extend, [project, vocab_miss, ckpt_in], ext_out)
+
+        with gr.Tab("Batch Calculator"):
+            bst = gr.Radio(["frame", "sample"], value="frame", label="Batch type")
+            ft = gr.Checkbox(label="Finetune (lr 1e-5)", value=True)
+            btn_calc = gr.Button("Suggest hyperparameters")
+            calc_out = gr.Textbox(label="Suggestion", lines=8)
+            btn_calc.click(ui_calculate, [project, bst, ft], calc_out)
 
         with gr.Tab("Train"):
             exp = gr.Dropdown(["F5TTS_v1_Base", "F5TTS_Base", "E2TTS_Base"],
