@@ -8,8 +8,10 @@ Usage:
     tts.export_wav(wav, "out.wav")
 
 Checkpoints: reference .pt/.safetensors via f5tts_tpu.compat, or native orbax
-checkpoints saved by the trainer. Without a checkpoint the model is randomly
-initialized (useful for smoke tests only).
+checkpoints saved by the trainer. With no ckpt_file, the model name resolves
+through the auto-download table (infer/download.py: $F5TTS_CKPT_DIR ->
+HF cache -> hub) or raises with instructions — pass ckpt_file="random" for an
+explicitly-uninitialized smoke-test model.
 """
 
 from __future__ import annotations
@@ -68,10 +70,16 @@ class F5TTS:
 
         bd = BACKBONES[cfg.backbone]
         statics = bd.statics_cls(arch)
-        if ckpt_file:
-            params = self._load_ckpt(ckpt_file, arch, use_ema, cfg.backbone)
-        else:
+        if not ckpt_file:
+            # resolve-or-explain (reference api.py:65-81): named models map to
+            # their published SWivid checkpoints; never silently random-init
+            from f5tts_tpu.infer.download import resolve_checkpoint
+
+            ckpt_file = resolve_checkpoint(model, cfg.mel_spec.mel_spec_type)
+        if ckpt_file == "random":  # explicit smoke-test opt-in
             params = bd.init(jax.random.PRNGKey(0), arch)
+        else:
+            params = self._load_ckpt(ckpt_file, arch, use_ema, cfg.backbone)
 
         # vocoder
         voc_cfg = VocosConfig()

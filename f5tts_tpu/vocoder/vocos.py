@@ -16,7 +16,7 @@ The iSTFT is the overlap-add kernel from f5tts_tpu.ops.stft (scatter-free,
 R=4 shifted adds), validated against torch.istft.
 
 Weight import from the HF `pytorch_model.bin` uses
-f5tts_tpu.vocoder.convert.convert_vocos_state_dict.
+f5tts_tpu.compat.torch_import.convert_vocos_state_dict.
 """
 
 from __future__ import annotations
