@@ -2,8 +2,10 @@
 
 Rebuild of reference src/f5_tts/infer/infer_gradio.py: Basic-TTS tab
 (ref audio + ref text + gen text -> audio, with advanced settings), and a
-Multi-Speech-Type tab driving the `{voice}` segment syntax. The reference's
-Voice-Chat tab (Qwen2.5-3B) is provided behind the same optional gating.
+Multi-Speech-Type tab driving the reference's `{Type}` / JSON tag syntax
+(parsing + synthesis loop live in infer/multistyle.py, UI-independent and
+CPU-tested). The reference's Voice-Chat tab (Qwen2.5-3B) is provided behind
+the same optional gating.
 
 gradio is an optional dependency; importing this module without it raises a
 clear error. Launch:
@@ -24,9 +26,8 @@ except ImportError as e:  # pragma: no cover - optional dep
 
 import numpy as np
 
-from f5tts_tpu.infer import audio_io
+from f5tts_tpu.infer import audio_io, multistyle
 from f5tts_tpu.infer.api import F5TTS
-from f5tts_tpu.infer.cli import split_voice_segments
 
 
 def build_app(tts: F5TTS) -> "gr.Blocks":
@@ -54,25 +55,33 @@ def build_app(tts: F5TTS) -> "gr.Blocks":
             out = audio_io.remove_silence_edges(out, out_sr)
         return (out_sr, out)
 
-    def multi_tts(gen_text, *voice_rows):
-        # voice_rows: flat triples (name, audio_path, ref_text)
-        voices = {}
-        for i in range(0, len(voice_rows), 3):
-            name, path, rtext = voice_rows[i : i + 3]
-            if name and path:
-                wav, sr = _load_ref(path)
-                voices[name] = (wav, sr, rtext or "")
-        segments = []
-        for voice, text in split_voice_segments(gen_text):
-            v = voices.get(voice) or voices.get("main")
-            if v is None:
-                continue
-            wav, sr, rtext = v
-            out, out_sr, _ = tts.pipeline.infer(wav, sr, rtext, text)
-            segments.append(out)
-        if not segments:
-            return None
-        return (tts.mel_cfg.target_sample_rate, np.concatenate(segments))
+    MAX_TYPES = 10  # reference allows 100; the engine itself is unbounded
+
+    def _multistyle_infer(audio_path, ref_text, text, seed, speed):
+        # adapter: path + cached transcription -> pipeline (engine contract)
+        from f5tts_tpu.infer.asr import preprocess_ref_audio_text
+
+        wav, sr, ref_text = preprocess_ref_audio_text(audio_path, ref_text or "")
+        out, out_sr, _ = tts.pipeline.infer(
+            wav, sr, ref_text, text, seed=int(seed), speed=float(speed),
+            cross_fade_duration=0.0)
+        return out_sr, out, ref_text, int(seed)
+
+    def multi_tts(gen_text, remove_silence, *rows):
+        # rows: names, audios, ref_texts as three parallel MAX_TYPES slices
+        names = list(rows[:MAX_TYPES])
+        audios = list(rows[MAX_TYPES : 2 * MAX_TYPES])
+        ref_texts = list(rows[2 * MAX_TYPES : 3 * MAX_TYPES])
+        types = multistyle.collect_speech_types(names, audios, ref_texts)
+        res = multistyle.synthesize_multistyle(gen_text, types, _multistyle_infer)
+        for w in res.warnings:
+            gr.Warning(w)
+        if res.wave is None:
+            return [None] + res.ref_texts + [res.metadata]
+        wave = res.wave
+        if remove_silence:
+            wave = audio_io.remove_silence_edges(wave, res.sample_rate)
+        return [(res.sample_rate, wave)] + res.ref_texts + [res.metadata]
 
     with gr.Blocks(title="f5tts-tpu") as app:
         gr.Markdown("# f5tts-tpu — TPU-native F5-TTS")
@@ -94,18 +103,42 @@ def build_app(tts: F5TTS) -> "gr.Blocks":
                       out_audio)
 
         with gr.Tab("Multi-Speech-Type"):
-            gr.Markdown("Use `[voicename]` tags in the text; define voices below.")
-            rows = []
-            for i, name in enumerate(["main", "voice2", "voice3"]):
-                with gr.Row():
-                    n = gr.Textbox(value=name if i == 0 else "", label="Name")
-                    a = gr.Audio(type="filepath", label="Ref audio")
-                    t = gr.Textbox(label="Ref text")
-                rows += [n, a, t]
-            gen_multi = gr.Textbox(label="Tagged text", lines=6)
-            btn2 = gr.Button("Synthesize")
+            # reference infer_gradio.py:383-737: {Type} / JSON-tagged script,
+            # dynamic speech-type rows, per-type transcription write-back,
+            # inference metadata transcript. Logic lives in infer/multistyle.py.
+            gr.Markdown(
+                "Script with `{TypeName}` tags (or "
+                '`{"name": ..., "seed": ..., "speed": ...}` for per-segment '
+                "control). The current type is sticky until the next tag; "
+                "untagged text uses Regular.")
+            names, audios, refs, groups = [], [], [], []
+            for i in range(MAX_TYPES):
+                with gr.Row(visible=(i == 0)) as row:
+                    n = gr.Textbox(value="Regular" if i == 0 else "",
+                                   label="Speech type name",
+                                   interactive=(i != 0))
+                    a = gr.Audio(type="filepath", label="Reference audio")
+                    t = gr.Textbox(label="Reference text (empty = transcribe)")
+                names.append(n); audios.append(a); refs.append(t); groups.append(row)
+            count = gr.State(1)
+            with gr.Row():
+                add_btn = gr.Button("Add speech type")
+                del_btn = gr.Button("Remove last speech type")
+
+            def _set_rows(k):
+                k = max(1, min(MAX_TYPES, k))
+                return [k] + [gr.update(visible=i < k) for i in range(MAX_TYPES)]
+
+            add_btn.click(lambda k: _set_rows(k + 1), count, [count, *groups])
+            del_btn.click(lambda k: _set_rows(k - 1), count, [count, *groups])
+
+            gen_multi = gr.Textbox(label="Tagged script", lines=8)
+            remove_sil2 = gr.Checkbox(label="Remove silences", value=False)
+            btn2 = gr.Button("Synthesize", variant="primary")
             out2 = gr.Audio(label="Output")
-            btn2.click(multi_tts, [gen_multi, *rows], out2)
+            meta2 = gr.Textbox(label="Inference metadata", lines=4)
+            btn2.click(multi_tts, [gen_multi, remove_sil2, *names, *audios, *refs],
+                       [out2, *refs, meta2])
 
         with gr.Tab("Voice Chat"):
             # reference infer_gradio.py:739-1000: chat LLM answers (typed or
