@@ -67,7 +67,8 @@ def generate_batches(
         ref_mels = batch["ref_mels"]                      # [b, t, d]
         total_lens = batch["total_mel_lens"]
         b = ref_mels.shape[0]
-        n_bucket = duration_bucket(int(total_lens.max()), bucket_size, max_duration)
+        n_bucket = duration_bucket(int(total_lens.max()), bucket_size, max_duration,
+                                   getattr(backbone, "seq_extra_tokens", 0) if backbone else 0)
         cond = np.zeros((b, n_bucket, mel_cfg.n_mel_channels), np.float32)
         t_avail = min(ref_mels.shape[1], n_bucket)
         cond[:, :t_avail] = ref_mels[:, :t_avail]

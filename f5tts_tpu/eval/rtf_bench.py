@@ -47,8 +47,10 @@ def bench_sampler(
     from f5tts_tpu.config import PRESETS
     from f5tts_tpu.models import cfm
     from f5tts_tpu.models.cfm import BACKBONES
-    from f5tts_tpu.utils import make_time_grid
+    from f5tts_tpu.utils import enable_compilation_cache, make_time_grid
     from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
+
+    enable_compilation_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
@@ -57,6 +59,10 @@ def bench_sampler(
     mcfg = PRESETS[model]
     arch = dataclasses.replace(mcfg.arch, text_num_embeds=2545)
     bd = BACKBONES[mcfg.backbone]
+    # production pipeline picks compile buckets of width (128k - extra_tokens)
+    # so the backbone's prepended tokens keep the sequence 128-aligned
+    # (utils.duration_bucket); bench the same widths (UNetT: 1024 -> 1023)
+    seq_frames -= bd.seq_extra_tokens
     params = bd.init(jax.random.PRNGKey(0), arch)
     if dtype != jnp.float32:
         from f5tts_tpu.models.modules import tree_cast

@@ -277,7 +277,8 @@ class InferencePipeline:
             jnp.asarray([total_frames]), s.max_duration,
         )[0])
 
-        n_bucket = duration_bucket(total_frames, self.bucket_size, s.max_duration)
+        n_bucket = duration_bucket(total_frames, self.bucket_size, s.max_duration,
+                                   self.backbone.seq_extra_tokens)
         cond = np.zeros((1, n_bucket, self.mel_cfg.n_mel_channels), np.float32)
         cond[0, :ref_frames] = ref_mel
 
@@ -375,7 +376,8 @@ class InferencePipeline:
         totals = np.asarray(cfm.compute_duration(
             jnp.asarray(text_lens), jnp.asarray(ref_lens),
             jnp.asarray(totals), s.max_duration))
-        n_bucket = duration_bucket(int(totals.max()), self.bucket_size, s.max_duration)
+        n_bucket = duration_bucket(int(totals.max()), self.bucket_size,
+                                   s.max_duration, self.backbone.seq_extra_tokens)
 
         t_grid = make_time_grid(nfe, sway_sampling_coef=sway, use_epss=s.use_epss)
         handle = self._fused_serve(

@@ -139,6 +139,19 @@ def warmup(pipeline: InferencePipeline, buckets: list[int] | None = None,
     buckets = buckets or [256, 512, 1024]
     batch_sizes = batch_sizes or [1, 4]
     sr = pipeline.sr
+    # cold-start insurance: compiled buckets persist across server restarts
+    from f5tts_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    # map each requested size to the bucket width the pipeline actually
+    # selects (backbone-aware: UNetT widths are 128k-1 so its prepended time
+    # token keeps the padded sequence 128-aligned, utils.duration_bucket)
+    from f5tts_tpu.utils import duration_bucket
+
+    extra = pipeline.backbone.seq_extra_tokens
+    buckets = sorted({duration_bucket(f - extra, pipeline.bucket_size,
+                                      pipeline.sampling.max_duration, extra)
+                      for f in buckets})
     for frames in buckets:
         for b in batch_sizes:
             # pin the duration with fix_duration so the sweep compiles

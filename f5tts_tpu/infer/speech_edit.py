@@ -85,7 +85,8 @@ def edit_speech(
         original_mel, parts_to_edit, fix_durations, pipeline.sr, pipeline.hop)
 
     total = mel_cond.shape[0]
-    n_bucket = duration_bucket(total, pipeline.bucket_size, s.max_duration)
+    n_bucket = duration_bucket(total, pipeline.bucket_size, s.max_duration,
+                               pipeline.backbone.seq_extra_tokens)
     cond = np.zeros((1, n_bucket, mel_cond.shape[1]), np.float32)
     cond[0, :total] = mel_cond
     emask = np.zeros((1, n_bucket), bool)

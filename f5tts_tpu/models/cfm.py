@@ -45,6 +45,9 @@ class BackboneDef(NamedTuple):
     # (params, t_values [S], batch, dtype) -> at(i) giving step-i AdaLN mods
     # (None for backbones without AdaLN, e.g. UNetT's time token)
     precompute_mods: Optional[Callable] = None
+    # sequence tokens the backbone prepends beyond the mel frames (UNetT's
+    # time token); duration_bucket subtracts this so seq stays 128-aligned
+    seq_extra_tokens: int = 0
 
 
 def _dit_text_embeds(params, statics, text, n, lengths, dtype):
@@ -90,7 +93,8 @@ def _make_backbones():
         "DiT": BackboneDef("DiT", dit.init_dit, dit.DiTStatics, dit.dit_forward,
                            _dit_text_embeds, _dit_mods),
         "UNetT": BackboneDef("UNetT", init_unett, UNetTStatics, unett_forward,
-                             _unett_text_embeds),  # time token, no AdaLN
+                             _unett_text_embeds,  # time token, no AdaLN
+                             seq_extra_tokens=1),
         "MMDiT": BackboneDef("MMDiT", init_mmdit, MMDiTStatics, mmdit_forward,
                              _mmdit_text_embeds, mmdit_precompute_t_mods),
     }

@@ -176,7 +176,8 @@ class Trainer:
         mel_ref, text = self._last_sample
         ref_frames = mel_ref.shape[0]
         total = min(ref_frames * 2, 4096)
-        n_bucket = duration_bucket(total, 256, 4096)
+        n_bucket = duration_bucket(total, 256, 4096,
+                                   self.backbone.seq_extra_tokens)
         cond = np.zeros((1, n_bucket, mel_ref.shape[1]), np.float32)
         cond[0, :ref_frames] = mel_ref
         # doubled text for the cloned continuation (reference trainer.py:411:

@@ -113,10 +113,47 @@ def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
-def duration_bucket(n_frames: int, bucket_size: int = 256, max_frames: int = 4096) -> int:
+def duration_bucket(n_frames: int, bucket_size: int = 256, max_frames: int = 4096,
+                    extra_tokens: int = 0) -> int:
     """Round a frame count up to a compile bucket boundary.
 
     The reference re-runs dynamic shapes per request; under jit we pad to a
     small set of bucket shapes so XLA compiles once per bucket.
+
+    `extra_tokens`: sequence tokens the backbone prepends on top of the mel
+    frames (UNetT's time token, BackboneDef.seq_extra_tokens). The returned
+    mel width keeps width+extra_tokens a bucket_size multiple, so the
+    transformer sequence stays 128-lane aligned — otherwise the +1 token
+    forces every block up to the next 128-row tile (n=1024 -> 1152 rows,
+    +12.5% on every matmul and attention pass).
     """
-    return min(max(round_up(n_frames, bucket_size), bucket_size), max_frames)
+    w = min(max(round_up(n_frames + extra_tokens, bucket_size), bucket_size),
+            max_frames + extra_tokens)
+    return w - extra_tokens
+
+
+# ---------------------------------------------------------------------------
+# Persistent compilation cache
+# ---------------------------------------------------------------------------
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at a stable on-disk dir.
+
+    Remote compiles of the big fused sampler graphs take 2-11 min through
+    the axon tunnel and are NOT cached across processes by default; with
+    this enabled, a fresh process deserializes the executable in seconds.
+    Used by bench.py, the serving front ends (warmup sweep), and rtf_bench.
+
+    Disable with F5TTS_COMPILE_CACHE=0; override the location with
+    F5TTS_COMPILE_CACHE=/some/dir. Returns the directory in use (or None).
+    """
+    import os
+
+    env = os.environ.get("F5TTS_COMPILE_CACHE", "")
+    if env == "0":
+        return None
+    path = env or path or os.path.join(os.getcwd(), ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

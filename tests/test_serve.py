@@ -132,3 +132,21 @@ def test_warmup_requests_hit_requested_buckets():
             jnp.asarray([len(gen_text)]), jnp.asarray([189]),
             jnp.asarray([est]), 4096)[0])
         assert duration_bucket(total, 256, 4096) == frames, (frames, est, total)
+
+
+def test_warmup_bucket_mapping_backbone_aware():
+    """serve.warmup maps requested sizes to the widths the pipeline will
+    actually select: DiT keeps 128k widths, UNetT shifts to 128k-1 so its
+    prepended time token stays 128-aligned (utils.duration_bucket)."""
+    from f5tts_tpu.utils import duration_bucket
+
+    def widths(sizes, extra):
+        return sorted({duration_bucket(f - extra, 256, 4096, extra)
+                       for f in sizes})
+
+    assert widths([256, 512, 1024], extra=0) == [256, 512, 1024]
+    assert widths([256, 512, 1024], extra=1) == [255, 511, 1023]
+    # pinning fix_duration to the mapped width re-selects the same bucket
+    for extra in (0, 1):
+        for w in widths([256, 512, 1024], extra):
+            assert duration_bucket(w, 256, 4096, extra) == w

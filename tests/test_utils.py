@@ -54,3 +54,11 @@ def test_round_up_and_bucket():
     assert duration_bucket(300) == 512
     assert duration_bucket(99999, max_frames=4096) == 4096
     assert duration_bucket(100, bucket_size=128, max_frames=512) == 128
+    # UNetT time token: width + extra stays bucket-aligned (128-lane tiles)
+    assert duration_bucket(100, extra_tokens=1) == 255
+    assert duration_bucket(1023, extra_tokens=1) == 1023
+    assert duration_bucket(1024, extra_tokens=1) == 1279
+    assert duration_bucket(99999, max_frames=4096, extra_tokens=1) == 4096
+    # width always covers the requested frames
+    for f in (1, 255, 256, 257, 1023, 1024, 4095, 4096):
+        assert duration_bucket(f, extra_tokens=1) >= f
