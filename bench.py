@@ -13,6 +13,15 @@ offline TRT-LLM batch-1 RTF = 0.0402 on 1x NVIDIA L20
 Weights are randomly initialized (the reference snapshot ships no
 checkpoints); RTF is architecture- and shape-determined, not weight-
 determined.
+
+The headline config uses int8 W8A8 on the block projections (the XLA-native
+s8 MXU path, ops/quant.py). Quality bound (scripts/int8_quality_ab.py, 20
+fixed-seed prompts on the real chip, random-init weights with activated
+AdaLN): int8-vs-bf16 mel rel-L2 1.52% / wav SNR 34.6 dB at 16 NFE — the
+same magnitude as bf16's own drift vs f32 (1.37% / 35.4 dB), i.e. int8 adds
+no more error than running bf16 at all does. 0.85% / 38.9 dB at 32 NFE.
+Re-validate against real weights with `int8_quality_ab --ckpt`. Set
+F5TTS_QUANT=none for the bf16 path.
 """
 
 from __future__ import annotations
@@ -38,8 +47,12 @@ PROMPT_FRAMES = 256
 def main():
     from f5tts_tpu.config import PRESETS
     from f5tts_tpu.models import cfm, dit
-    from f5tts_tpu.utils import make_time_grid
+    from f5tts_tpu.utils import enable_compilation_cache, make_time_grid
     from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
+
+    # the cold int8 sampler compile is ~11 min through the remote-compile
+    # tunnel; the persistent cache drops repeat invocations to seconds
+    enable_compilation_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     backend = "pallas" if on_tpu else "xla"
@@ -60,7 +73,7 @@ def main():
 
     params = fuse_backbone_qkv(params)
 
-    quant = os.environ.get("F5TTS_QUANT", "none")
+    quant = os.environ.get("F5TTS_QUANT", "int8" if on_tpu else "none")
     if quant == "int8":
         from f5tts_tpu.ops.quant import quantize_dit_params
 

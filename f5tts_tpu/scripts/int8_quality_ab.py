@@ -26,12 +26,35 @@ import json
 import numpy as np
 
 
+def _activate_zero_init(params, key):
+    """Replace all-zero float leaves (AdaLN-zero modulation linears, final
+    norm) with small random values so random-init A/Bs exercise real signal
+    flow. Scale 0.05 keeps gates/scales in a realistic trained-model range."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for leaf, k in zip(leaves, keys):
+        if (hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+                and leaf.size > 0 and not bool(jnp.any(leaf != 0))):
+            leaf = 0.05 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="")
     ap.add_argument("--prompts", type=int, default=20)
     ap.add_argument("--nfe", type=int, nargs="+", default=[16, 32])
     ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--context-fp32", action="store_true",
+                    help="also run an f32 sampler and report bf16-vs-f32 "
+                         "drift with the same metrics: if int8-vs-bf16 is "
+                         "the same order as bf16-vs-f32 (the error everyone "
+                         "already accepts), int8 is safe to promote")
     args = ap.parse_args(argv)
 
     import jax
@@ -41,7 +64,9 @@ def main(argv=None):
     from f5tts_tpu.models import cfm, dit
     from f5tts_tpu.models.modules import fuse_backbone_qkv, tree_cast
     from f5tts_tpu.ops.quant import quantize_dit_params
-    from f5tts_tpu.utils import make_time_grid
+    from f5tts_tpu.utils import enable_compilation_cache, make_time_grid
+
+    enable_compilation_cache()
     from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
 
     on_tpu = jax.default_backend() == "tpu"
@@ -59,7 +84,16 @@ def main(argv=None):
         weights = "reference"
     else:
         params = dit.init_dit(jax.random.PRNGKey(0), arch)
-        weights = "random-init"
+        # raw random-init DiT is an IDENTITY function: AdaLN-zero gates
+        # multiply every block's contribution by 0 (dit.py zero-init), so an
+        # int8-vs-bf16 A/B on raw init weights compares 0 with 0 (first run
+        # of this script measured exactly that: MAE 0.0, SNR = the eps
+        # clamp). Randomize the zero-init modulation weights so all blocks
+        # contribute signal through the quantized matmuls.
+        params = _activate_zero_init(params, jax.random.PRNGKey(42))
+        weights = "random-init (AdaLN activated)"
+    params_f32 = fuse_backbone_qkv(tree_cast(params, jnp.float32)) \
+        if args.context_fp32 else None
     params = fuse_backbone_qkv(tree_cast(params, jnp.bfloat16))
     params_i8 = quantize_dit_params(params)
     statics = dit.DiTStatics(arch)
@@ -68,20 +102,47 @@ def main(argv=None):
     grids = {k: make_time_grid(k, sway_sampling_coef=-1.0, use_epss=True)
              for k in args.nfe}
 
-    def run(params, cond, text, lens, duration, key, nfe):
+    def run(params, cond, text, lens, duration, key, nfe, dt):
         mel = cfm.cfm_sample(
             params, statics, cond, text, lens, duration, grids[nfe],
-            key=key, cfg_strength=2.0, dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-            backend=backend)
+            key=key, cfg_strength=2.0, dtype=dt, backend=backend)
         wav = voc.decode(jnp.transpose(mel, (0, 2, 1)))
         return mel, wav
 
-    run_j = jax.jit(run, static_argnames=("nfe",))
+    run_j = jax.jit(run, static_argnames=("nfe", "dt"))
+    bf = jnp.bfloat16 if on_tpu else jnp.float32
+
+    def deltas(ref, test, prompt, dur):
+        """ref/test: (mel [1,n,d], wav [1,n*256]) device arrays."""
+        mel_r = np.asarray(ref[0][0, prompt:dur], np.float32)
+        mel_t = np.asarray(test[0][0, prompt:dur], np.float32)
+        wav_r = np.asarray(ref[1][0], np.float32)[prompt * 256: dur * 256]
+        wav_t = np.asarray(test[1][0], np.float32)[prompt * 256: dur * 256]
+        noise = np.sum((wav_r - wav_t) ** 2)
+        return {
+            "mel_mae": float(np.mean(np.abs(mel_r - mel_t))),
+            "mel_rel_l2": float(np.linalg.norm(mel_r - mel_t)
+                                / max(np.linalg.norm(mel_r), 1e-9)),
+            "lsd": float(np.sqrt(np.mean((mel_r - mel_t) ** 2))),
+            "wav_snr_db": float(10 * np.log10(np.sum(wav_r ** 2)
+                                              / max(noise, 1e-12))),
+        }
+
+    def summarize(rows):
+        keys = rows[0].keys()
+        out = {}
+        for k in keys:
+            vals = [r[k] for r in rows]
+            out[f"{k}_mean"] = round(float(np.mean(vals)), 5)
+            out[f"{k}_worst"] = round(float(np.min(vals) if "snr" in k
+                                            else np.max(vals)), 5)
+        out["prompts"] = len(rows)
+        return out
 
     rng = np.random.default_rng(123)
     report = {}
     for nfe in args.nfe:
-        maes, rel2, lsd, snr = [], [], [], []
+        i8_rows, bf_rows = [], []
         for i in range(args.prompts):
             prompt = int(rng.integers(128, 384))
             dur = int(rng.integers(max(prompt + 256, 640), n + 1))
@@ -90,27 +151,16 @@ def main(argv=None):
             lens = jnp.full((1,), prompt, jnp.int32)
             duration = jnp.full((1,), dur, jnp.int32)
             key = jax.random.PRNGKey(i)
-            mel_b, wav_b = run_j(params, cond, text, lens, duration, key, nfe)
-            mel_q, wav_q = run_j(params_i8, cond, text, lens, duration, key, nfe)
-            mel_b = np.asarray(mel_b[0, prompt:dur], np.float32)
-            mel_q = np.asarray(mel_q[0, prompt:dur], np.float32)
-            wav_b = np.asarray(wav_b[0], np.float32)[prompt * 256: dur * 256]
-            wav_q = np.asarray(wav_q[0], np.float32)[prompt * 256: dur * 256]
-            maes.append(np.mean(np.abs(mel_b - mel_q)))
-            rel2.append(np.linalg.norm(mel_b - mel_q) /
-                        max(np.linalg.norm(mel_b), 1e-9))
-            lsd.append(np.sqrt(np.mean((mel_b - mel_q) ** 2)))
-            noise = np.sum((wav_b - wav_q) ** 2)
-            snr.append(10 * np.log10(np.sum(wav_b ** 2) / max(noise, 1e-12)))
-        report[f"nfe{nfe}"] = {
-            "mel_mae_mean": round(float(np.mean(maes)), 5),
-            "mel_mae_max": round(float(np.max(maes)), 5),
-            "mel_rel_l2_mean": round(float(np.mean(rel2)), 5),
-            "lsd_mean": round(float(np.mean(lsd)), 5),
-            "wav_snr_db_mean": round(float(np.mean(snr)), 2),
-            "wav_snr_db_min": round(float(np.min(snr)), 2),
-            "prompts": args.prompts,
-        }
+            out_b = run_j(params, cond, text, lens, duration, key, nfe, bf)
+            out_q = run_j(params_i8, cond, text, lens, duration, key, nfe, bf)
+            i8_rows.append(deltas(out_b, out_q, prompt, dur))
+            if params_f32 is not None:
+                out_f = run_j(params_f32, cond, text, lens, duration, key,
+                              nfe, jnp.float32)
+                bf_rows.append(deltas(out_f, out_b, prompt, dur))
+        report[f"nfe{nfe}"] = {"int8_vs_bf16": summarize(i8_rows)}
+        if bf_rows:
+            report[f"nfe{nfe}"]["bf16_vs_f32"] = summarize(bf_rows)
         print(f"[int8-ab] nfe{nfe}: {report[f'nfe{nfe}']}")
     print(json.dumps({"weights": weights, "device": str(jax.devices()[0]),
                       **report}))
