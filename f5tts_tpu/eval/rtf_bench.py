@@ -43,6 +43,7 @@ def bench_sampler(
     dtype=None,
     backend: str = None,
     quantization: str = "none",
+    fused: bool = True,
 ) -> dict:
     from f5tts_tpu.config import PRESETS
     from f5tts_tpu.models import cfm
@@ -120,7 +121,7 @@ def bench_sampler(
     hop, sr = 256, 24000
     audio_s = batch * (seq_frames - prompt_frames) * hop / sr
     total = float(np.mean(total_times))
-    return {
+    out = {
         "model": model, "nfe": nfe, "batch": batch, "seq_frames": seq_frames,
         "audio_seconds_per_batch": audio_s,
         "dit_s": float(np.mean(dit_times)),
@@ -134,6 +135,31 @@ def bench_sampler(
         "device": str(jax.devices()[0]),
     }
 
+    if fused:
+        # production serving config: sampler + vocoder + scalar checksum in
+        # ONE jitted dispatch (bench.py and the serve path run this shape).
+        # The staged loop above syncs between stages, so its vocoder_s is
+        # dominated by the tunnel round-trip (~2-30 ms), not device time —
+        # fused_rtf is the honest end-to-end number; the staged split is
+        # kept for the DiT-vs-vocoder attribution the reference reports.
+        @jax.jit
+        def fused_fn(key):
+            wav = voc_only(sample_only(key))
+            return jnp.sum(wav.astype(jnp.float32))
+
+        float(fused_fn(jax.random.PRNGKey(2000)))  # compile + warmup
+        fused_times = []
+        for i in range(runs):
+            t0 = time.perf_counter()
+            v = float(fused_fn(jax.random.PRNGKey(100 + i)))
+            fused_times.append(time.perf_counter() - t0)
+            assert np.isfinite(v)
+        ft = float(np.mean(fused_times))
+        out["fused_total_s"] = ft
+        out["fused_rtf"] = ft / audio_s
+        out["fused_audio_seconds_per_s"] = audio_s / ft
+    return out
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -144,10 +170,14 @@ def main(argv=None):
     p.add_argument("--runs", type=int, default=5)
     p.add_argument("--quantization", default="none", choices=["none", "int8"])
     p.add_argument("--output", default="rtf.txt")
+    p.add_argument("--no_fused", action="store_true",
+                   help="skip the fused one-dispatch measurement "
+                        "(saves one extra XLA compile)")
     args = p.parse_args(argv)
     stats = bench_sampler(args.model, args.nfe, args.seq_frames,
                           batch=args.batch, runs=args.runs,
-                          quantization=args.quantization)
+                          quantization=args.quantization,
+                          fused=not args.no_fused)
     line = json.dumps(stats)
     print(line)
     with open(args.output, "a") as f:
