@@ -36,34 +36,51 @@ def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("data", "model"))
 
 
+# Column-parallel projections: output channels sharded over "model" (the
+# reference's ColumnLinear set, convert_checkpoint.py:169-193, extended to
+# the inference-fused "to_qkv" leaf and MMDiT's context-stream leaves).
+# "to_qkv" stores [d, 3*h*dh] as a flat [q|k|v] concat (modules.
+# fuse_attention_qkv); a "model"-shard of its last axis crosses the q/k/v
+# block boundaries for tp>1, which GSPMD handles with one reshard at the
+# qkv split — semantics are unchanged, and the dryrun asserts allclose.
+_COL = {
+    ("attn", "to_q"), ("attn", "to_k"), ("attn", "to_v"), ("attn", "to_qkv"),
+    ("attn", "to_q_c"), ("attn", "to_k_c"), ("attn", "to_v_c"),
+    ("ff", "in"), ("ff_x", "in"), ("ff_c", "in"),
+}
+# Row-parallel projections: contraction axis sharded; XLA inserts the psum
+# the reference implements as RowLinear's allreduce.
+_ROW = {
+    ("attn", "to_out"), ("attn", "to_out_c"),
+    ("ff", "out"), ("ff_x", "out"), ("ff_c", "out"),
+}
+
+
 def _spec_for_path(path: tuple, ndim: int) -> P:
     """TP rules keyed on param-tree path suffixes. Stacked block params carry a
-    leading depth axis, handled by padding the spec with None on the left."""
+    leading depth axis, handled by padding the spec with None on the left.
+
+    Covers the plain f32/bf16 leaves ({"w","b"}) and the int8-quantized
+    serving leaves ({"w_i8","w_scale","b"}, ops.quant.quantize_dit_params):
+    w_i8 shards like w; w_scale ([..., 1, n] per-output-channel) shards with
+    column-parallel leaves and stays replicated for row-parallel ones (the
+    scale axis is the un-sharded output axis there)."""
     names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    if len(names) < 3:
+        return P(*([None] * ndim))
+    mod_name = tuple(names[-3:-1])
+    leaf = names[-1]
 
-    def ends(*suffix):
-        return tuple(names[-len(suffix):]) == suffix
-
-    col = None  # spec for the last axis
-    row = None  # spec for the second-to-last axis
-    if ends("attn", "to_q", "w") or ends("attn", "to_k", "w") or ends("attn", "to_v", "w"):
-        col = "model"
-    elif ends("attn", "to_q", "b") or ends("attn", "to_k", "b") or ends("attn", "to_v", "b"):
-        col = "model"
-    elif ends("attn", "to_out", "w"):
-        row = "model"
-    elif ends("ff", "in", "w"):
-        col = "model"
-    elif ends("ff", "in", "b"):
-        col = "model"
-    elif ends("ff", "out", "w"):
-        row = "model"
+    col = mod_name in _COL
+    row = mod_name in _ROW
 
     spec = [None] * ndim
-    if col is not None:
-        spec[-1] = col
-    if row is not None and ndim >= 2:
-        spec[-2] = row
+    if col and leaf in ("w", "b", "w_i8", "w_scale"):
+        spec[-1] = "model"
+    elif row and leaf in ("w", "w_i8") and ndim >= 2:
+        spec[-2] = "model"
+    # row-parallel "b" and "w_scale" stay replicated: they apply to the
+    # (un-sharded) output channels after the psum.
     return P(*spec)
 
 

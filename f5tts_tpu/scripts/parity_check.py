@@ -65,6 +65,67 @@ def run_configs(params, statics, nfe_list, seed: int = 0, dtype=None):
     return outs
 
 
+def run_mirror_golden(params, statics, backbone: str, n: int = 256,
+                      nfe: int = 7, atol: float = 2e-2, rtol: float = 2e-2) -> int:
+    """Run the full torch CFM sampler mirror (euler + EPSS + sway + CFG +
+    cond re-imposition, tests/torch_mirror.py) on the SAME converted weights
+    and noise, and compare mel-level against `cfm_sample`. Returns 0/2.
+
+    This is the offline cross-implementation golden: it exercises the whole
+    time-grid/CFG/noise plumbing through an independent implementation, so it
+    catches integration bugs that forward-level mirrors and repo-vs-repo
+    goldens cannot. Runs in f32 on CPU for both sides (torch has no TPU)."""
+    import os
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if repo_root not in _sys.path:
+        _sys.path.insert(0, repo_root)
+    try:
+        from tests import torch_mirror as tm
+    except ImportError as e:
+        print(f"[parity] mirror golden needs the repo checkout (tests/): {e}")
+        return 2
+
+    from f5tts_tpu.models import cfm
+    from f5tts_tpu.utils import make_time_grid
+
+    forwards = {"DiT": tm.t_dit_forward, "UNetT": tm.t_unett_forward}
+    if backbone not in forwards:
+        print(f"[parity] no torch mirror for backbone {backbone}; skipping")
+        return 0
+
+    arch = statics.arch
+    cond, text, lens, duration = build_fixed_inputs(arch, n=n, nt=min(n // 4, 64))
+    t_grid = make_time_grid(nfe, sway_sampling_coef=-1.0)
+    y0 = cfm.make_noise(jax.random.PRNGKey(0), cond.shape[0], n, arch.mel_dim,
+                        duration, shared=True)
+    bd = cfm.BACKBONES[backbone]
+    mel_jax = np.asarray(cfm.cfm_sample(
+        params, statics, cond, text, lens, duration, t_grid, y0=y0,
+        cfg_strength=2.0, method="euler", dtype=jnp.float32, backend="xla",
+        backbone=bd))
+
+    params_np = jax.tree.map(np.asarray, params)
+    mel_t = tm.t_cfm_sample(
+        forwards[backbone], params_np, arch,
+        torch.from_numpy(np.asarray(cond)), torch.from_numpy(np.asarray(text)).long(),
+        torch.from_numpy(np.asarray(lens)), torch.from_numpy(np.asarray(duration)),
+        torch.from_numpy(np.array(y0)),
+        tm.t_time_grid(nfe, sway_sampling_coef=-1.0), cfg_strength=2.0,
+    ).numpy()
+
+    d = np.abs(mel_jax - mel_t)
+    ok = np.allclose(mel_jax, mel_t, atol=atol, rtol=rtol)
+    print(f"[parity] mirror golden ({backbone}, n={n}, nfe={nfe}): "
+          f"max|d|={d.max():.4e} mean|d|={d.mean():.4e} {'OK' if ok else 'FAIL'}")
+    return 0 if ok else 2
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt", required=True)
@@ -73,6 +134,16 @@ def main(argv=None):
     ap.add_argument("--nfe", type=int, nargs="+", default=[16, 32])
     ap.add_argument("--golden", default="", help="golden .npz to compare against")
     ap.add_argument("--write-golden", default="", help="write this run's mels")
+    ap.add_argument("--mirror-golden", action="store_true",
+                    help="also run the independent torch CFM sampler mirror "
+                         "(tests/torch_mirror.py) on the converted weights and "
+                         "compare mel-level — an offline cross-implementation "
+                         "golden that needs no reference-side export")
+    ap.add_argument("--mirror-n", type=int, default=256,
+                    help="sequence length for the torch mirror run (torch-cpu "
+                         "is slow; 256 frames keeps a 336M ckpt check in "
+                         "minutes)")
+    ap.add_argument("--mirror-nfe", type=int, default=7)
     ap.add_argument("--atol", type=float, default=2e-2)
     ap.add_argument("--rtol", type=float, default=2e-2)
     args = ap.parse_args(argv)
@@ -116,7 +187,14 @@ def main(argv=None):
             print(f"[parity] FAIL: non-finite mel at {name}")
             sys.exit(2)
 
-    # 3. golden comparison
+    # 3. cross-implementation mirror golden (no reference export needed)
+    if args.mirror_golden:
+        rc = run_mirror_golden(params, statics, cfg.backbone,
+                               n=args.mirror_n, nfe=args.mirror_nfe)
+        if rc:
+            sys.exit(rc)
+
+    # 4. golden comparison
     if args.write_golden:
         np.savez(args.write_golden, **outs)
         print(f"[parity] wrote golden {args.write_golden}")

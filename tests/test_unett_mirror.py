@@ -10,74 +10,11 @@ from f5tts_tpu.config import ModelArch
 from f5tts_tpu.models.cfm import BACKBONES
 
 from tests.helpers import denseify
-from tests.torch_mirror import (
-    t_attention,
-    t_conv_pos_embed,
-    t_linear,
-    t_rope_angles,
-    t_text_embedding,
-    t_timestep_embed,
-)
+from tests.torch_mirror import t_unett_forward
 
 ARCH = ModelArch(dim=64, depth=4, heads=2, dim_head=32, ff_mult=2, mel_dim=16,
                  text_num_embeds=30, text_dim=32, conv_layers=2,
                  text_mask_padding=True, skip_connect_type="concat")
-
-
-def t_rms_norm(p, x, eps=1e-8):
-    w = torch.from_numpy(np.asarray(p["w"]))
-    var = x.float().pow(2).mean(-1, keepdim=True)
-    return x * torch.rsqrt(var + eps) * w
-
-
-def t_unett_forward(params, arch, x, cond, text, time, lengths=None):
-    b, n, _ = x.shape
-    if time.ndim == 0:
-        time = time.repeat(b)
-    t_emb = t_timestep_embed(params["time_embed"], time)
-    te = t_text_embedding(params["text_embed"], text, n,
-                          mask_padding=arch.text_mask_padding,
-                          conv_layers=arch.conv_layers)
-    h = t_linear(params["input_embed"]["proj"], torch.cat([x, cond, te], dim=-1))
-    h = t_conv_pos_embed(params["input_embed"]["conv_pos"], h) + h
-
-    # prepend time token
-    h = torch.cat([t_emb.unsqueeze(1), h], dim=1)
-    mask = None
-    if lengths is not None:
-        mask = torch.arange(n + 1).unsqueeze(0) < (lengths + 1).unsqueeze(1)
-    angles = t_rope_angles(n + 1, arch.dim_head)
-
-    half = arch.depth // 2
-
-    def blk(stacked, i):
-        return jax.tree.map(lambda a: np.asarray(a)[i], stacked)
-
-    skips = []
-    for i in range(half):
-        p = blk(params["first_half"], i)
-        skips.append(h)
-        a = t_attention(p["attn"], t_rms_norm(p["attn_norm"], h), arch.heads,
-                        angles, mask)
-        h = a + h
-        ffh = t_linear(p["ff"]["out"],
-                       F.gelu(t_linear(p["ff"]["in"], t_rms_norm(p["ff_norm"], h)),
-                              approximate="tanh"))
-        h = ffh + h
-    for i in range(half):
-        p = blk(params["second_half"], i)
-        skip = skips.pop()
-        h = t_linear(p["skip_proj"], torch.cat([h, skip], dim=-1))
-        a = t_attention(p["attn"], t_rms_norm(p["attn_norm"], h), arch.heads,
-                        angles, mask)
-        h = a + h
-        ffh = t_linear(p["ff"]["out"],
-                       F.gelu(t_linear(p["ff"]["in"], t_rms_norm(p["ff_norm"], h)),
-                              approximate="tanh"))
-        h = ffh + h
-
-    h = t_rms_norm(params["norm_out"], h)[:, 1:, :]
-    return t_linear(params["proj_out"], h)
 
 
 def test_unett_matches_torch_mirror():

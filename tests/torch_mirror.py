@@ -179,6 +179,129 @@ def t_text_embedding(p, text, seq_len, mask_padding=True, drop_text=False,
     return emb
 
 
+def t_rms_norm(p, x, eps=1e-8):
+    w = torch.from_numpy(np.asarray(p["w"]))
+    var = x.float().pow(2).mean(-1, keepdim=True)
+    return x * torch.rsqrt(var + eps) * w
+
+
+def t_unett_forward(params, arch, x, cond, text, time, lengths=None,
+                    drop_audio_cond=False, drop_text=False):
+    """UNetT (E2-TTS) forward mirror: prepended time token, RMSNorm pre-norm
+    blocks, first-half skip push / second-half concat+proj pop (reference
+    src/f5_tts/model/backbones/unett.py:244-307)."""
+    import jax  # tree slicing of the stacked halves
+
+    b, n, _ = x.shape
+    if time.ndim == 0:
+        time = time.repeat(b)
+    t_emb = t_timestep_embed(params["time_embed"], time)
+    te = t_text_embedding(params["text_embed"], text, n,
+                          mask_padding=arch.text_mask_padding,
+                          drop_text=drop_text, conv_layers=arch.conv_layers)
+    c = torch.zeros_like(cond) if drop_audio_cond else cond
+    h = t_linear(params["input_embed"]["proj"], torch.cat([x, c, te], dim=-1))
+    h = t_conv_pos_embed(params["input_embed"]["conv_pos"], h) + h
+
+    # prepend time token (unett.py:271-274); mask gets True at position 0
+    h = torch.cat([t_emb.unsqueeze(1), h], dim=1)
+    mask = None
+    if lengths is not None:
+        mask = torch.arange(n + 1).unsqueeze(0) < (lengths + 1).unsqueeze(1)
+    angles = t_rope_angles(n + 1, arch.dim_head)
+
+    half = arch.depth // 2
+
+    def blk(stacked, i):
+        return jax.tree.map(lambda a: np.asarray(a)[i], stacked)
+
+    skips = []
+    for i in range(half):
+        p = blk(params["first_half"], i)
+        skips.append(h)
+        a = t_attention(p["attn"], t_rms_norm(p["attn_norm"], h), arch.heads,
+                        angles, mask)
+        h = a + h
+        ffh = t_linear(p["ff"]["out"],
+                       F.gelu(t_linear(p["ff"]["in"], t_rms_norm(p["ff_norm"], h)),
+                              approximate="tanh"))
+        h = ffh + h
+    for i in range(half):
+        p = blk(params["second_half"], i)
+        skip = skips.pop()
+        if arch.skip_connect_type == "concat":
+            h = t_linear(p["skip_proj"], torch.cat([h, skip], dim=-1))
+        elif arch.skip_connect_type == "add":
+            h = h + skip
+        a = t_attention(p["attn"], t_rms_norm(p["attn_norm"], h), arch.heads,
+                        angles, mask)
+        h = a + h
+        ffh = t_linear(p["ff"]["out"],
+                       F.gelu(t_linear(p["ff"]["in"], t_rms_norm(p["ff_norm"], h)),
+                              approximate="tanh"))
+        h = ffh + h
+
+    h = t_rms_norm(params["norm_out"], h)[:, 1:, :]
+    return t_linear(params["proj_out"], h)
+
+
+# ---------------------------------------------------------------------------
+# Full CFM sampler mirror (reference src/f5_tts/model/cfm.py:84-229)
+# ---------------------------------------------------------------------------
+# Independent of f5tts_tpu.utils: the EPSS index tables and the sway formula
+# are transcribed straight from the reference (model/utils.py:205-218,
+# cfm.py:211-216), so a wrong table or grid in utils.make_time_grid fails the
+# mirror test rather than silently matching.
+
+_EPSS_REF = {
+    5: [0, 2, 4, 8, 16, 32],
+    6: [0, 2, 4, 6, 8, 16, 32],
+    7: [0, 2, 4, 6, 8, 16, 24, 32],
+    10: [0, 2, 4, 6, 8, 12, 16, 20, 24, 28, 32],
+    12: [0, 2, 4, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32],
+    16: [0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32],
+}
+
+
+def t_time_grid(steps, sway_sampling_coef=-1.0, use_epss=True, t_start=0.0):
+    """EPSS (when available, from t=0) else linspace; then the sway shift
+    t <- t + s*(cos(pi/2 t) - 1 + t). Reference cfm.py:203-216."""
+    if t_start == 0.0 and use_epss and steps in _EPSS_REF:
+        t = (1.0 / 32.0) * torch.tensor(_EPSS_REF[steps], dtype=torch.float64)
+    else:
+        t = torch.linspace(t_start, 1.0, steps + 1, dtype=torch.float64)
+    if sway_sampling_coef is not None:
+        t = t + sway_sampling_coef * (torch.cos(torch.pi / 2 * t) - 1 + t)
+    return t.float()
+
+
+def t_cfm_sample(forward, params, arch, cond, text, lens, duration, y0,
+                 t_grid, cfg_strength=2.0, use_mask=True):
+    """Euler CFM sampling loop in torch: prompt-cond masking, per-step CFG
+    combine pred + (pred - null)*strength, Euler update, and final prompt
+    re-imposition (reference cfm.py:145-153,162-191,218-223).
+
+    `forward` is a backbone mirror like t_dit_forward; `y0` is the SAME noise
+    tensor the jax side's make_noise produced (noise generation itself is
+    PRNG-specific and is not part of the parity contract)."""
+    b, n, d = cond.shape
+    cond_mask = torch.arange(n).unsqueeze(0) < lens.unsqueeze(1)
+    step_cond = torch.where(cond_mask.unsqueeze(-1), cond, torch.zeros(()))
+    lengths = duration if use_mask else None
+    x = y0.clone()
+    steps = t_grid.shape[0] - 1
+    for i in range(steps):
+        t_cur = t_grid[i]
+        dt = t_grid[i + 1] - t_grid[i]
+        tvec = t_cur.repeat(b)
+        pred = forward(params, arch, x, step_cond, text, tvec, lengths=lengths)
+        null = forward(params, arch, x, step_cond, text, tvec, lengths=lengths,
+                       drop_audio_cond=True, drop_text=True)
+        v = pred + (pred - null) * cfg_strength
+        x = x + dt * v
+    return torch.where(cond_mask.unsqueeze(-1), cond, x)
+
+
 def t_dit_forward(params, arch, x, cond, text, time, lengths=None,
                   drop_audio_cond=False, drop_text=False):
     b, n, _ = x.shape
