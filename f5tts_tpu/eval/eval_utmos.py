@@ -1,9 +1,11 @@
 """UTMOS (MOS prediction) scoring.
 
-Rebuild of reference src/f5_tts/eval/eval_utmos.py: runs the
-tarepan/SpeechMOS utmos22_strong predictor over generated wavs, writes
-per-utterance scores to `_utmos_results.jsonl` and prints the mean. Requires
-torch.hub access (network) — gated with a clear error offline.
+Rebuild of reference src/f5_tts/eval/eval_utmos.py: runs the utmos22_strong
+predictor over generated wavs, writes per-utterance scores to
+`_utmos_results.jsonl` and prints the mean. Unlike the reference (torch.hub
+only, so MOS can never run offline), `--ckpt` loads a local weights file
+through the strict key-mapped rebuild in eval/utmos22.py; the hub path
+remains the fallback when network is available.
 """
 
 from __future__ import annotations
@@ -15,17 +17,25 @@ from pathlib import Path
 from f5tts_tpu.infer import audio_io
 
 
-def eval_utmos(audio_dir: str, ext: str = "wav", device: str = "cpu") -> dict:
-    try:
-        import torch
+def eval_utmos(audio_dir: str, ext: str = "wav", device: str = "cpu",
+               ckpt: str = "") -> dict:
+    import torch
 
-        predictor = torch.hub.load("tarepan/SpeechMOS:v1.2.0", "utmos22_strong",
-                                   trust_repo=True).to(device)
-    except Exception as e:
-        raise RuntimeError(
-            "UTMOS requires torch.hub download of tarepan/SpeechMOS "
-            "(network access needed)"
-        ) from e
+    if ckpt:
+        from f5tts_tpu.eval.utmos22 import load_predictor
+
+        predictor = load_predictor(ckpt).to(device)
+    else:
+        try:
+            predictor = torch.hub.load("tarepan/SpeechMOS:v1.2.0",
+                                       "utmos22_strong",
+                                       trust_repo=True).to(device)
+        except Exception as e:
+            raise RuntimeError(
+                "UTMOS needs either --ckpt (offline weights file, see "
+                "eval/utmos22.py) or torch.hub network access for "
+                "tarepan/SpeechMOS"
+            ) from e
 
     results = {}
     files = list(Path(audio_dir).rglob(f"*.{ext}"))
@@ -47,8 +57,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--audio_dir", required=True)
     p.add_argument("--ext", default="wav")
+    p.add_argument("--ckpt", default="",
+                   help="local utmos22_strong weights file (offline mode)")
     args = p.parse_args(argv)
-    print(eval_utmos(args.audio_dir, args.ext))
+    print(eval_utmos(args.audio_dir, args.ext, ckpt=args.ckpt))
 
 
 if __name__ == "__main__":

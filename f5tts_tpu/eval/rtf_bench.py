@@ -147,7 +147,8 @@ def bench_sampler(
             wav = voc_only(sample_only(key))
             return jnp.sum(wav.astype(jnp.float32))
 
-        float(fused_fn(jax.random.PRNGKey(2000)))  # compile + warmup
+        warm = float(fused_fn(jax.random.PRNGKey(2000)))  # compile + warmup
+        assert np.isfinite(warm)  # catch a NaN-producing compile variant here
         fused_times = []
         for i in range(runs):
             t0 = time.perf_counter()
@@ -158,6 +159,9 @@ def bench_sampler(
         out["fused_total_s"] = ft
         out["fused_rtf"] = ft / audio_s
         out["fused_audio_seconds_per_s"] = audio_s / ft
+        # fused_rtf is the headline serving number — keep its tail latency
+        # attribution too, not just the mean (ADVICE r2)
+        out["fused_latency"] = percentile_stats(fused_times)
     return out
 
 

@@ -220,10 +220,14 @@ def mmdit_hoist_t_mods(params: m.Params, t_emb: jax.Array) -> dict:
     h = jax.nn.silu(t_emb)
 
     def mod(p_adaln):
+        from f5tts_tpu.models.dit import _mods_dot
+
         w = p_adaln["linear"]["w"].astype(h.dtype)
         bias = p_adaln["linear"]["b"].astype(h.dtype)
         if w.ndim == 3:  # stacked [L, d, k]
-            out = jnp.einsum("...d,ldk->l...k", h, w)
+            hs = h.reshape(-1, h.shape[-1])
+            out = _mods_dot(hs, w)  # canonical wb layout (see dit._mods_dot)
+            out = out.reshape((w.shape[0],) + h.shape[:-1] + (w.shape[-1],))
             return out + bias.reshape((bias.shape[0],) + (1,) * (h.ndim - 1)
                                       + (bias.shape[-1],))
         return h @ w + bias

@@ -684,15 +684,156 @@ def _fused_qkv_rope_attention_impl(
     )(lengths.astype(jnp.int32), qkv, qkv, qkv, cos, sin)
 
 
+# ---------------------------------------------------------------------------
+# Flat-layout fused backward: dQKV straight from (qkv, do) with in-kernel
+# RoPE and in-kernel softmax recomputation.
+#
+# The first training backward for the megakernel re-roped q/k in XLA, split
+# heads ([b,n,h*d] -> [b,h,n,d] transposes), re-ran the flash forward for the
+# log-sum-exp, ran the flash backward, merged heads back, un-roped dq/dk and
+# concatenated — device traces showed ~24 ms/step of pure layout copies
+# around the head-split custom calls plus an entire redundant attention
+# forward. This kernel consumes the SAME flat residuals the forward kept
+# (qkv, rope tables, lengths) plus the flat cotangent, recomputes softmax
+# statistics per head in VMEM (single KV pass, so saving lse buys nothing),
+# and writes the flat [b, n, 3hd] dQKV that feeds the to_qkv matmul VJP
+# directly — zero HBM layout traffic end to end.
+#
+# Per (batch, head-pair) program, per head: s = scale*(q_rot k_rot^T);
+# p = softmax(s) over live keys; dp = do v^T; delta = rowsum(p*dp);
+# ds = p*(dp - delta); dv = p^T do; dq_rot = scale*(ds k_rot);
+# dk_rot = scale*(ds^T q_rot); dq/dk = inverse-rope(dq_rot/dk_rot)
+# (rope with -sin; the rotation's transpose). Rows past valid_len need no
+# masking: their incoming cotangent is exactly zero (self_attention masks
+# the projection output), which zeroes ds/dv/dk contributions identically.
+# ---------------------------------------------------------------------------
+
+def _fused_qkv_bwd_kernel(len_ref, qkv_ref, do_ref, cos_ref, sin_ref,
+                          dqkv_ref, *, heads: int, sm_scale: float):
+    hp = pl.program_id(1)
+    valid_len = len_ref[pl.program_id(0)]
+    n, hd3 = qkv_ref.shape[1], qkv_ref.shape[2]
+    hd = hd3 // 3
+    d = hd // heads
+    pair = max(d, 128)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, pair), 1)
+
+    def rope(xf, cs, sn):
+        rot = jnp.where(lane_p % 2 == 0,
+                        -pltpu.roll(xf, pair - 1, 1),
+                        pltpu.roll(xf, 1, 1))
+        return xf * cs + rot * sn
+
+    lanes_q = pl.ds(hp * pair, pair)
+    lanes_k = pl.ds(hd + hp * pair, pair)
+    lanes_v = pl.ds(2 * hd + hp * pair, pair)
+    cs = cos_ref[:, pl.ds(hp * pair, pair)].astype(jnp.float32)
+    sn = sin_ref[:, pl.ds(hp * pair, pair)].astype(jnp.float32)
+
+    dt = qkv_ref.dtype
+    qrot = rope(qkv_ref[0, :, lanes_q].astype(jnp.float32), cs, sn).astype(dt)
+    krot = rope(qkv_ref[0, :, lanes_k].astype(jnp.float32), cs, sn).astype(dt)
+    vp = qkv_ref[0, :, lanes_v]
+    do_p = do_ref[0, :, pl.ds(hp * pair, pair)]
+
+    coln = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    bias = jnp.where(coln < valid_len, 0.0, NEG_INF)  # [1, n] f32
+
+    halves = ([(qrot, do_p)] if pair == d else [
+        (jnp.where(lane_p < d, qrot, 0).astype(dt),
+         jnp.where(lane_p < d, do_p, 0).astype(dt)),
+        (jnp.where(lane_p >= d, qrot, 0).astype(dt),
+         jnp.where(lane_p >= d, do_p, 0).astype(dt)),
+    ])
+
+    dq_acc = None
+    dk_acc = None
+    dv_acc = None
+    for qh, doh in halves:
+        s = jax.lax.dot_general(qh, krot, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale + bias
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(l == 0.0, 1.0, l)          # normalized probs, f32
+        dp = jax.lax.dot_general(doh, vp, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(dt)
+        p_lo = p.astype(dt)
+        # dv: zero-padded doh keeps the other head's lanes zero -> plain add
+        dvh = jax.lax.dot_general(p_lo, doh, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        # dk via zero-padded qh likewise adds cleanly; dq needs a lane select
+        dkh = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dqh = jax.lax.dot_general(ds, krot, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dv_acc = dvh if dv_acc is None else dv_acc + dvh
+        dk_acc = dkh if dk_acc is None else dk_acc + dkh
+        dq_acc = dqh if dq_acc is None else jnp.where(lane_p < d, dq_acc, dqh)
+
+    dq_rot = dq_acc * sm_scale
+    dk_rot = dk_acc * sm_scale
+    # inverse rotation = rope with -sin (the rotation matrix transpose)
+    dq = rope(dq_rot, cs, -sn)
+    dk = rope(dk_rot, cs, -sn)
+    dqkv_ref[0, :, lanes_q] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[0, :, lanes_k] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[0, :, lanes_v] = dv_acc.astype(dqkv_ref.dtype)
+
+
+# scores+dp per head must fit VMEM alongside the qkv/do/out blocks
+FUSED_BWD_MAX_N = 1024
+# test hook: route the flat backward kernel in interpret mode off-TPU
+FORCE_FLAT_BWD = False
+
+
+def _fused_qkv_bwd_pallas(qkv, cos, sin, lengths, do, heads: int):
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    pair = max(d, 128)
+    sm_scale = 1.0 / math.sqrt(d)
+    return pl.pallas_call(
+        functools.partial(_fused_qkv_bwd_kernel, heads=heads, sm_scale=sm_scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hd // pair),
+            in_specs=[
+                pl.BlockSpec((1, n, hd3), lambda bi, hp, lens: (bi, 0, 0)),
+                pl.BlockSpec((1, n, hd), lambda bi, hp, lens: (bi, 0, 0)),
+                pl.BlockSpec((n, hd), lambda bi, hp, lens: (0, 0)),
+                pl.BlockSpec((n, hd), lambda bi, hp, lens: (0, 0)),
+            ],
+            # one revisited [n, 3hd] block per batch row; each head-pair
+            # program writes its disjoint q/k/v lane ranges
+            out_specs=pl.BlockSpec((1, n, hd3), lambda bi, hp, lens: (bi, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * n * hd * (pair // d),
+            bytes_accessed=2 * (4 * b * n * hd + 2 * n * hd) * qkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths.astype(jnp.int32), qkv, do, cos, sin)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_qkv_rope_attention(qkv, cos, sin, lengths, heads: int):
     """Differentiable fused QKV+RoPE attention (see _fused_qkv_rope_attention_impl).
 
-    The backward pass rebuilds the head-split roped q/k/v with the flat-table
-    rope (numerics match the in-kernel rope), re-runs the flash forward for
-    the per-row log-sum-exp, runs the Pallas flash backward kernels, and
-    un-ropes dq/dk (rope's linear-map transpose = rope with -sin). This makes
-    the inference megakernel usable as-is in the training step.
+    The backward stays in the flat layout too (_fused_qkv_bwd_kernel): one
+    Pallas kernel maps (qkv, do) -> dQKV with in-kernel rope/un-rope and
+    in-kernel softmax recomputation. A head-split fallback (XLA rope +
+    flash-backward kernels) covers shapes the flat kernel doesn't. This
+    makes the inference megakernel usable as-is in the training step.
     """
     return _fused_qkv_rope_attention_impl(qkv, cos, sin, lengths, heads)
 
@@ -709,6 +850,11 @@ def _fused_qkv_bwd(heads, res, g):
     b, n, hd3 = qkv.shape
     hd = hd3 // 3
     d = hd // heads
+
+    if ((jax.default_backend() == "tpu" or FORCE_FLAT_BWD) and n % 128 == 0
+            and n <= FUSED_BWD_MAX_N and d in (64, 128) and hd % 128 == 0):
+        dqkv = _fused_qkv_bwd_pallas(qkv, cos, sin, lengths, g, heads)
+        return dqkv, None, None, None
 
     q, k, v = jnp.split(qkv, 3, axis=-1)
     qr = apply_rotary_flat_tables(q, cos, sin)

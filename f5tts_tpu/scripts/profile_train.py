@@ -20,17 +20,21 @@ def run_workload(logdir: str, batch: int, frames: int, steps: int = 3):
 
     from f5tts_tpu.config import PRESETS
     from f5tts_tpu.models import dit
-    from f5tts_tpu.train.step import init_train_state, make_optimizer, make_train_step
+    from f5tts_tpu.train.step import (OptHParams, init_train_state,
+                                      make_optimizer, make_train_step)
 
     arch = dataclasses.replace(PRESETS["F5TTS_v1_Base"].arch,
                                text_num_embeds=2545,
                                checkpoint_activations=True)
     params = dit.init_dit(jax.random.PRNGKey(0), arch)
     statics = dit.DiTStatics(arch)
+    hp = OptHParams(learning_rate=7.5e-5, warmup_updates=1000,
+                    total_updates=10000)
     tx = make_optimizer(learning_rate=7.5e-5, warmup_updates=1000,
                         total_updates=10000)
     state = init_train_state(params, tx)
-    step_fn = jax.jit(make_train_step(statics, tx))
+    # production config: fused clip+AdamW+EMA (hp) + fused-QKV megakernel
+    step_fn = jax.jit(make_train_step(statics, tx, hp=hp))
 
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((batch, frames, 100)) * 0.3, jnp.float32)

@@ -48,6 +48,13 @@ class Slicer:
     """RMS-based silence slicer (the slicer2 algorithm contract the
     reference vendors at finetune_gradio.py:197-309).
 
+    Upstream algorithm attribution: this follows the "slicer2" algorithm by
+    RVC-Boss (GPT-SoVITS project, also vendored verbatim by the reference);
+    exact cut positions are the behavior contract, so the constructor math
+    and the three-case silence branch structure intentionally match the
+    published algorithm. The RMS computation itself (cumsum-based, above)
+    was re-derived independently — no librosa."""
+
     Scans per-hop RMS; a silent run long enough (min_interval) after a clip
     of at least min_length frames produces a cut at the quietest frame of
     the silence (one or two cut points when the silence exceeds

@@ -93,6 +93,37 @@ def test_fused_kernel_grad_matches_decomposed(heads, d, pe):
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("heads,d,pe", [(8, 64, None), (4, 128, None), (8, 64, 2)])
+def test_flat_bwd_kernel_matches_decomposed(heads, d, pe, monkeypatch):
+    """The flat-layout backward kernel (in-kernel rope/un-rope + softmax
+    recompute, no lse) matches the decomposed-chain gradients."""
+    from f5tts_tpu.ops import attention as att
+
+    monkeypatch.setattr(att, "FORCE_FLAT_BWD", True)
+    b, n = 2, 256
+    hd = heads * d
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    qkv = jax.random.normal(k1, (b, n, 3 * hd), jnp.float32)
+    ct = jax.random.normal(k2, (b, n, hd), jnp.float32)
+    angles = rope_freqs_interleaved(d, n)
+    cos, sin = rope_flat_tables(angles, n, heads, pe, dtype=jnp.float32)
+    lengths = jnp.array([n, 177], jnp.int32)
+    rowmask = (jnp.arange(n)[None, :] < lengths[:, None])[:, :, None]
+
+    def loss_kernel(x):
+        o = fused_qkv_rope_attention(x, cos, sin, lengths, heads)
+        return jnp.sum(jnp.where(rowmask, o * ct, 0.0))
+
+    def loss_ref(x):
+        o = _oracle(x, angles, heads, lengths, pe)
+        return jnp.sum(jnp.where(rowmask, o * ct, 0.0))
+
+    g_kernel = jax.grad(loss_kernel)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_self_attention_cpu_ignores_rope_tabs():
     # the fused path is TPU-only: with rope_tabs supplied on CPU the result
     # must equal the decomposed path exactly
