@@ -98,6 +98,12 @@ def main(argv=None):
     ap.add_argument("--nfe", type=int, default=16)
     ap.add_argument("--max_batch", type=int, default=4)
     ap.add_argument("--quantization", default="none")
+    ap.add_argument("--window_ms", type=float, nargs="+", default=[1.0],
+                    help="dynamic-batching windows to sweep; best-p50 row "
+                         "becomes the headline JSON")
+    ap.add_argument("--stream", type=int, default=0,
+                    help="also measure TTFB over N /tts_stream requests "
+                         "(low-TTFB descending-budget path)")
     args = ap.parse_args(argv)
 
     pipe = build_pipeline(args.nfe, args.quantization)
@@ -122,67 +128,116 @@ def main(argv=None):
             print(f"warmed fix_duration={fd} batch={bsz} "
                   f"({time.time()-t0:.0f}s)", file=sys.stderr)
 
-    batcher = DynamicBatcher(pipe, max_batch_size=args.max_batch,
-                             max_queue_delay_s=0.001)
-    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher, sr))
-    port = server.server_address[1]
-    threading.Thread(target=server.serve_forever, daemon=True).start()
-    url = f"http://127.0.0.1:{port}"
-
     payloads = make_payloads(args.requests, sr)
-    lock = threading.Lock()
-    latencies: list[float] = []
-    samples: list[int] = []
-    errors: list[str] = []
 
-    # one shared queue of distinct payloads, C workers drain it
-    work = list(enumerate(payloads))
+    def run_once(window_ms: float):
+        batcher = DynamicBatcher(pipe, max_batch_size=args.max_batch,
+                                 max_queue_delay_s=window_ms / 1000.0)
+        server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                     make_handler(batcher, sr, pipeline=pipe))
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{port}"
 
-    def worker():
-        while True:
-            with lock:
-                if not work:
-                    return
-                _, p = work.pop()
-            try:
-                lat, ns = send_request(url, p)
+        lock = threading.Lock()
+        latencies: list[float] = []
+        samples: list[int] = []
+        errors: list[str] = []
+        work = list(enumerate(payloads))  # C workers drain distinct payloads
+
+        def worker():
+            while True:
                 with lock:
-                    latencies.append(lat)
-                    samples.append(ns)
-            except Exception as e:
-                with lock:
-                    errors.append(str(e))
+                    if not work:
+                        return
+                    _, p = work.pop()
+                try:
+                    lat, ns = send_request(url, p)
+                    with lock:
+                        latencies.append(lat)
+                        samples.append(ns)
+                except Exception as e:
+                    with lock:
+                        errors.append(str(e))
 
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=worker) for _ in range(args.concurrency)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    server.shutdown()
-    batcher.close()
-
-    lat = np.asarray(latencies) if latencies else np.zeros(1)
-    audio_s = sum(samples) / sr
-    print(json.dumps({
-        "metric": "serve_rtf_concurrency%d" % args.concurrency,
-        "value": round(wall / max(audio_s, 1e-9), 5),
-        "unit": "rtf",
-        "vs_baseline": round(0.0394 / (wall / max(audio_s, 1e-9)), 3),
-        "extra": {
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=worker) for _ in range(args.concurrency)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        server.shutdown()
+        batcher.close()
+        lat = np.asarray(latencies) if latencies else np.zeros(1)
+        audio_s = sum(samples) / sr
+        return {
+            "window_ms": window_ms,
+            "rtf": round(wall / max(audio_s, 1e-9), 5),
             "requests": len(latencies), "errors": len(errors),
             "wall_s": round(wall, 2), "audio_seconds": round(audio_s, 1),
             "latency_avg_ms": round(float(lat.mean()) * 1e3, 1),
             "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
             "latency_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
+        }
+
+    def run_stream(n: int):
+        """TTFB sweep over the /tts_stream low-TTFB path (serial clients:
+        TTFB is a per-stream property, not a saturation one)."""
+        from f5tts_tpu.infer.client_http import send_request_stream
+
+        batcher = DynamicBatcher(pipe, max_batch_size=args.max_batch)
+        server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                     make_handler(batcher, sr, pipeline=pipe))
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        ttfbs, totals = [], []
+        try:
+            for p in payloads[:n]:
+                p = dict(p)
+                p.pop("fix_duration", None)  # budgets pick their own durations
+                ttfb, total, ns = send_request_stream(
+                    f"http://127.0.0.1:{port}", p)
+                ttfbs.append(ttfb)
+                totals.append(total)
+        finally:
+            server.shutdown()
+            batcher.close()
+        return {
+            "stream_requests": len(ttfbs),
+            "ttfb_p50_ms": round(float(np.percentile(ttfbs, 50)) * 1e3, 1),
+            "ttfb_p90_ms": round(float(np.percentile(ttfbs, 90)) * 1e3, 1),
+            "stream_total_p50_ms": round(float(np.percentile(totals, 50)) * 1e3, 1),
+        }
+
+    # batch-window sweep (VERDICT r2 item 4): window-vs-latency trade on the
+    # real chip. b=1 already compute-saturates the chip, so batching buys no
+    # throughput — small/zero windows should win on latency.
+    rows = [run_once(w) for w in args.window_ms]
+    for r in rows:
+        print(f"[serve-bench] window={r['window_ms']:g}ms rtf={r['rtf']} "
+              f"avg={r['latency_avg_ms']}ms p50={r['latency_p50_ms']}ms "
+              f"p99={r['latency_p99_ms']}ms errors={r['errors']}",
+              file=sys.stderr)
+    best = min(rows, key=lambda r: r["latency_p50_ms"])
+    stream_stats = {}
+    if args.stream:
+        stream_stats = run_stream(args.stream)
+        print(f"[serve-bench] stream: {stream_stats}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "serve_rtf_concurrency%d" % args.concurrency,
+        "value": best["rtf"],
+        "unit": "rtf",
+        "vs_baseline": round(0.0394 / best["rtf"], 3),
+        "extra": {
+            **best,
+            **stream_stats,
             "baseline_latency_avg_ms": 253.0,
+            "window_sweep": rows,
             "nfe": args.nfe, "max_batch": args.max_batch,
             "quant": args.quantization,
         },
     }))
-    if errors:
-        print("errors:", errors[:3], file=sys.stderr)
 
 
 if __name__ == "__main__":

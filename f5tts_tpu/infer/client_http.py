@@ -37,6 +37,29 @@ def send_request(server: str, payload: dict, timeout: float = 300.0):
     return latency, n_samples
 
 
+def send_request_stream(server: str, payload: dict, timeout: float = 300.0):
+    """POST /tts_stream; returns (ttfb_s, total_s, n_samples). TTFB = time to
+    the first audio byte of the chunked s16le PCM stream."""
+    req = urllib.request.Request(
+        server.rstrip("/") + "/tts_stream",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    t0 = time.perf_counter()
+    ttfb = None
+    total_bytes = 0
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        while True:
+            chunk = resp.read(4096)  # urllib de-chunks transfer encoding
+            if not chunk:
+                break
+            if ttfb is None:
+                ttfb = time.perf_counter() - t0
+            total_bytes += len(chunk)
+    total = time.perf_counter() - t0
+    return (ttfb if ttfb is not None else total), total, total_bytes // 2
+
+
 def run_sweep(server: str, payload: dict, n: int = 26, concurrency: int = 2,
               sr: int = 24000) -> dict:
     latencies: list[float] = []

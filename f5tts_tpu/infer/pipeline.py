@@ -58,6 +58,28 @@ def chunk_text(text: str, max_chars: int = 135) -> list[str]:
     return chunks
 
 
+def chunk_text_low_ttfb(text: str, first_chunk_chars: tuple = (12, 40, 80),
+                        max_chars: int = 135) -> list[str]:
+    """Low-TTFB chunking: leading chunks use small DESCENDING byte budgets so
+    the first audio leaves the device quickly, later chunks the normal budget
+    (reference socket_server.py:139-143). Packs the sentence list directly
+    (same split rules as chunk_text) — a prefix-length cursor desyncs on
+    collapsed whitespace."""
+    sentences = [s for s in SENTENCE_SPLIT_RE.split(text) if s]
+    budgets = iter(first_chunk_chars)
+    chunks: list[str] = []
+    cur, cur_budget = "", next(budgets, max_chars)
+    for s in sentences:
+        joiner = " " if len(s[-1].encode("utf-8")) == 1 else ""
+        if cur and len(cur.encode("utf-8")) + len(s.encode("utf-8")) > cur_budget:
+            chunks.append(cur.strip())
+            cur, cur_budget = "", next(budgets, max_chars)
+        cur += s + joiner
+    if cur.strip():
+        chunks.append(cur.strip())
+    return [c for c in chunks if c]
+
+
 def max_chars_for_ref(ref_text: str, ref_audio_secs: float, speed: float = 1.0) -> int:
     """Reference utils_infer.py:404."""
     return int(

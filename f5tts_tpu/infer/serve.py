@@ -172,24 +172,41 @@ def warmup(pipeline: InferencePipeline, buckets: list[int] | None = None,
                 print(f"warmup bucket={frames} batch={b} failed: {e}")
 
 
-def make_handler(batcher: DynamicBatcher, sr: int):
+def make_handler(batcher: DynamicBatcher, sr: int,
+                 pipeline: Optional[InferencePipeline] = None):
+    """HTTP handler: POST /tts (batched, full WAV response) and, when
+    `pipeline` is given, POST /tts_stream — a chunked s16le PCM stream with
+    the socket server's low-TTFB policy (descending first-chunk text budgets,
+    reference socket_server.py:139-143): the first audio bytes leave after
+    the FIRST small text chunk's synthesis instead of the whole request's."""
+
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):
             pass
 
+        def _read_body(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length))
+            if "ref_audio_b64" in body:
+                raw = base64.b64decode(body["ref_audio_b64"])
+                wav, in_sr = audio_io.read_wav(io.BytesIO(raw))
+            else:
+                wav, in_sr = audio_io.read_wav(body["ref_path"])
+            return audio_io.resample(wav, in_sr, sr), body
+
         def do_POST(self):
-            if self.path != "/tts":
+            if self.path == "/tts":
+                self._tts()
+            elif self.path == "/tts_stream" and pipeline is not None:
+                self._tts_stream()
+            else:
                 self.send_error(404)
-                return
+
+        def _tts(self):
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(length))
-                if "ref_audio_b64" in body:
-                    raw = base64.b64decode(body["ref_audio_b64"])
-                    wav, in_sr = audio_io.read_wav(io.BytesIO(raw))
-                else:
-                    wav, in_sr = audio_io.read_wav(body["ref_path"])
-                wav = audio_io.resample(wav, in_sr, sr)
+                wav, body = self._read_body()
                 wave = batcher.submit({
                     "ref_wav": wav,
                     "ref_text": body.get("ref_text", ""),
@@ -205,6 +222,43 @@ def make_handler(batcher: DynamicBatcher, sr: int):
                 self.wfile.write(out)
             except Exception as e:
                 self.send_error(500, f"{type(e).__name__}: {e}")
+
+        def _tts_stream(self):
+            from f5tts_tpu.infer.pipeline import chunk_text_low_ttfb
+
+            try:
+                wav, body = self._read_body()
+                ref_text = body.get("ref_text", "")
+                if not ref_text.endswith((". ", "。")):
+                    ref_text = ref_text + ". " if not ref_text.endswith(".") \
+                        else ref_text + " "
+                chunks = chunk_text_low_ttfb(body["gen_text"])
+            except Exception as e:
+                self.send_error(500, f"{type(e).__name__}: {e}")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             f"audio/L16;rate={sr};channels=1")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(data: bytes):
+                self.wfile.write(f"{len(data):X}\r\n".encode())
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
+            try:
+                for text_chunk in chunks:
+                    wave, _ = pipeline.generate_chunk(
+                        wav, ref_text, text_chunk,
+                        speed=body.get("speed"),
+                        fix_duration=body.get("fix_duration"))
+                    pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+                    if pcm:
+                        emit(pcm)
+                        self.wfile.flush()
+            finally:
+                self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 
@@ -230,7 +284,8 @@ def main(argv=None):
     batcher = DynamicBatcher(tts.pipeline, args.max_batch_size,
                              args.max_queue_delay_ms / 1000.0)
     server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(batcher, tts.mel_cfg.target_sample_rate))
+                                 make_handler(batcher, tts.mel_cfg.target_sample_rate,
+                                              pipeline=tts.pipeline))
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 

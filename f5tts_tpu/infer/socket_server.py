@@ -72,28 +72,11 @@ class TTSStreamingProcessor:
         list(self.generate_stream("Warm-up."))
 
     def _split_low_ttfb(self, text: str) -> list[str]:
-        """First chunks use small descending budgets, rest the normal budget.
+        """First chunks use small descending budgets, rest the normal budget
+        (shared with the HTTP /tts_stream path, pipeline.chunk_text_low_ttfb)."""
+        from f5tts_tpu.infer.pipeline import chunk_text_low_ttfb
 
-        Packs the sentence list directly (same split/packing rules as
-        chunk_text) instead of re-chunking a suffix by character offset —
-        chunk_text strips and re-joins whitespace, so a prefix-length cursor
-        desyncs on any collapsed whitespace run (double space, newline) and
-        would re-synthesize stray text."""
-        from f5tts_tpu.infer.pipeline import SENTENCE_SPLIT_RE
-
-        sentences = [s for s in SENTENCE_SPLIT_RE.split(text) if s]
-        budgets = iter(self.first_chunk_chars)
-        chunks: list[str] = []
-        cur, cur_budget = "", next(budgets, 135)
-        for s in sentences:
-            joiner = " " if len(s[-1].encode("utf-8")) == 1 else ""
-            if cur and len(cur.encode("utf-8")) + len(s.encode("utf-8")) > cur_budget:
-                chunks.append(cur.strip())
-                cur, cur_budget = "", next(budgets, 135)
-            cur += s + joiner
-        if cur.strip():
-            chunks.append(cur.strip())
-        return [c for c in chunks if c]
+        return chunk_text_low_ttfb(text, self.first_chunk_chars)
 
     def generate_stream(self, text: str):
         for gen_chunk in self._split_low_ttfb(text):

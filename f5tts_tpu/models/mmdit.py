@@ -118,30 +118,74 @@ def mmdit_text_embedding(p, statics, text, drop_text=False, mask_padding=True, d
 
 
 def _joint_attention(p, x, c, heads, rope_audio, rope_text, audio_kmask,
-                     text_kmask, use_kernel=False):
+                     text_kmask, use_kernel=False, joint_tabs=None):
     """modules.py:581-705: concat streams, attend, split.
 
-    use_kernel routes the joint scores through the key-masked Pallas flash
-    kernel (ops.attention.masked_flash_attention: the audio padding sits in
-    the MIDDLE of the joint sequence, so prefix `lengths` can't express the
-    mask; the kernel consumes a [b, n+nt] additive bias row instead). Falls
-    back to the XLA path off-TPU or when n+nt isn't tile-aligned."""
-    from f5tts_tpu.ops.attention import masked_flash_attention, mha_reference_masked
+    Fused serving params ("to_qkv"/"to_qkv_c", modules.fuse_attention_qkv)
+    with flat rope tables route through the bias-masked flat megakernel
+    (ops.attention.fused_qkv_rope_attention_bias): the two streams' fused
+    projection outputs are seq-concatenated — the per-row [q|k|v] lane
+    layout survives concatenation — roped in VMEM against the concatenated
+    per-stream tables, attended in one pass, and emitted flat for the
+    to_out projections. No per-stream rope passes, no head-split transposes,
+    no QKV lane split in HBM.
+
+    Otherwise use_kernel routes the joint scores through the key-masked
+    Pallas flash kernel (ops.attention.masked_flash_attention: the audio
+    padding sits in the MIDDLE of the joint sequence, so prefix `lengths`
+    can't express the mask; the kernel consumes a [b, n+nt] additive bias
+    row instead). Falls back to the XLA path off-TPU or when n+nt isn't
+    tile-aligned."""
+    from f5tts_tpu.ops.attention import (
+        fused_qkv_rope_attention_bias,
+        masked_flash_attention,
+        mha_reference_masked,
+    )
 
     b, n, _ = x.shape
     nt = c.shape[1]
-    wq = p["to_q"]["w"] if "w" in p["to_q"] else p["to_q"]["w_i8"]
-    dh = wq.shape[1] // heads
+    fused = "to_qkv" in p
+    if fused:
+        wq = p["to_qkv"]["w"] if "w" in p["to_qkv"] else p["to_qkv"]["w_i8"]
+        dh = wq.shape[1] // 3 // heads
+    else:
+        wq = p["to_q"]["w"] if "w" in p["to_q"] else p["to_q"]["w_i8"]
+        dh = wq.shape[1] // heads
 
     def heads_split(t):
         return t.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
 
-    q = heads_split(m.linear(p["to_q"], x))
-    k = heads_split(m.linear(p["to_k"], x))
-    v = heads_split(m.linear(p["to_v"], x))
-    cq = heads_split(m.linear(p["to_q_c"], c))
-    ck = heads_split(m.linear(p["to_k_c"], c))
-    cv = heads_split(m.linear(p["to_v_c"], c))
+    if fused and joint_tabs is not None and "q_norm" not in p:
+        qkv_x = m.linear(p["to_qkv"], x)      # [b, n, 3hd]
+        qkv_c = m.linear(p["to_qkv_c"], c)    # [b, nt, 3hd]
+        qkv_j = jnp.concatenate([qkv_x, qkv_c], axis=1)
+        am = audio_kmask if audio_kmask is not None else jnp.ones((b, n), bool)
+        tm = text_kmask if text_kmask is not None else jnp.ones((b, nt), bool)
+        kmask = jnp.concatenate([am, tm], axis=1)
+        o = fused_qkv_rope_attention_bias(qkv_j, joint_tabs[0], joint_tabs[1],
+                                          kmask, heads)
+        xo, co = o[:, :n], o[:, n:]
+        xo = m.linear(p["to_out"], xo)
+        if "to_out_c" in p:
+            co = m.linear(p["to_out_c"], co)
+        if audio_kmask is not None:
+            xo = jnp.where(audio_kmask[:, :, None], xo, 0.0)
+        if text_kmask is not None and "to_out_c" in p:
+            co = jnp.where(text_kmask[:, :, None], co, 0.0)
+        return xo, co
+
+    if fused:
+        q, k, v = (heads_split(t) for t in
+                   jnp.split(m.linear(p["to_qkv"], x), 3, axis=-1))
+        cq, ck, cv = (heads_split(t) for t in
+                      jnp.split(m.linear(p["to_qkv_c"], c), 3, axis=-1))
+    else:
+        q = heads_split(m.linear(p["to_q"], x))
+        k = heads_split(m.linear(p["to_k"], x))
+        v = heads_split(m.linear(p["to_v"], x))
+        cq = heads_split(m.linear(p["to_q_c"], c))
+        ck = heads_split(m.linear(p["to_k_c"], c))
+        cv = heads_split(m.linear(p["to_v_c"], c))
 
     if "q_norm" in p:
         q = m.rms_norm(p["q_norm"], q)
@@ -180,7 +224,7 @@ def _joint_attention(p, x, c, heads, rope_audio, rope_text, audio_kmask,
 
 def _mmdit_block(blk, x, c, mods_x, mods_c, heads, rope_audio, rope_text,
                  audio_kmask, text_kmask, context_pre_only=False,
-                 use_kernel=False):
+                 use_kernel=False, joint_tabs=None):
     """modules.py:816-846. `mods_x`/`mods_c` are the precomputed AdaLN
     modulation vectors ([b, 6*dim]; [b, 2*dim] for the context_pre_only last
     block) — see mmdit_hoist_t_mods."""
@@ -194,7 +238,8 @@ def _mmdit_block(blk, x, c, mods_x, mods_c, heads, rope_audio, rope_text,
 
     x_attn, c_attn = _joint_attention(blk["attn"], norm_x, norm_c, heads,
                                       rope_audio, rope_text, audio_kmask,
-                                      text_kmask, use_kernel=use_kernel)
+                                      text_kmask, use_kernel=use_kernel,
+                                      joint_tabs=joint_tabs)
 
     if context_pre_only:
         c = None
@@ -335,6 +380,20 @@ def mmdit_forward(
     rope_audio = statics.rope_angles[:n]
     rope_text = statics.rope_angles[:c.shape[1]]
 
+    # flat rope tables for the bias megakernel: per-stream tables
+    # concatenated on the sequence axis, so joint rows rotate with their own
+    # stream's positions without in-kernel branching. Built once per forward
+    # (hoisted out of the block scan); engages only for fused-QKV params.
+    joint_tabs = None
+    if "to_qkv" in params["blocks"]["attn"] and "q_norm" not in params["blocks"]["attn"]:
+        from f5tts_tpu.ops.rope import rope_flat_tables
+
+        ca, sa = rope_flat_tables(rope_audio, n, arch.heads, None, dtype=dtype)
+        ct2, st2 = rope_flat_tables(rope_text, c.shape[1], arch.heads, None,
+                                    dtype=dtype)
+        joint_tabs = (jnp.concatenate([ca, ct2], axis=0),
+                      jnp.concatenate([sa, st2], axis=0))
+
     if t_mods is None:
         # hoist the AdaLN modulation matmuls out of the (possibly remat'd)
         # block scan — they ride the scan as precomputed inputs
@@ -345,7 +404,8 @@ def mmdit_forward(
         xx, cc = carry
         xx, cc = _mmdit_block(blk, xx, cc, mx, mc, arch.heads, rope_audio,
                               rope_text, audio_kmask, c_kmask,
-                              context_pre_only=False, use_kernel=use_kernel)
+                              context_pre_only=False, use_kernel=use_kernel,
+                              joint_tabs=joint_tabs)
         return (xx, cc), None
 
     if arch.checkpoint_activations:
@@ -358,7 +418,7 @@ def mmdit_forward(
     h, _ = _mmdit_block(params["last_block"], h, c, t_mods["last_x"],
                         t_mods["last_c"], arch.heads, rope_audio, rope_text,
                         audio_kmask, c_kmask, context_pre_only=True,
-                        use_kernel=use_kernel)
+                        use_kernel=use_kernel, joint_tabs=joint_tabs)
 
     h = m.adaln_final(params["norm_out"], h, None, mod=t_mods["final"])
     return m.linear(params["proj_out"], h).astype(jnp.float32)

@@ -405,13 +405,19 @@ def self_attention(
             return o
         q, k, v = jnp.split(qkv, 3, axis=-1)
     elif "w_i8" in p["to_q"]:
-        # quantize the shared input once for all three projections
-        from f5tts_tpu.ops.quant import int8_linear_pre, quantize_rows
+        from f5tts_tpu.ops.quant import int8_linear, int8_linear_pre, quantize_rows
 
-        xq, xs = quantize_rows(x)
-        q = int8_linear_pre(p["to_q"], xq, xs, x.dtype)
-        k = int8_linear_pre(p["to_k"], xq, xs, x.dtype)
-        v = int8_linear_pre(p["to_v"], xq, xs, x.dtype)
+        if "act_mask" in p["to_q"]:
+            # outlier-hedged leaves carry their own masked quant + side-dot
+            q = int8_linear(p["to_q"], x)
+            k = int8_linear(p["to_k"], x)
+            v = int8_linear(p["to_v"], x)
+        else:
+            # quantize the shared input once for all three projections
+            xq, xs = quantize_rows(x)
+            q = int8_linear_pre(p["to_q"], xq, xs, x.dtype)
+            k = int8_linear_pre(p["to_k"], xq, xs, x.dtype)
+            v = int8_linear_pre(p["to_v"], xq, xs, x.dtype)
     else:
         q = linear(p["to_q"], x)
         k = linear(p["to_k"], x)
@@ -494,35 +500,43 @@ def dit_block(
 
 
 def fuse_attention_qkv(attn: Params, dtype=None) -> Params:
-    """Merge to_q/to_k/to_v into one to_qkv linear.
+    """Merge to_q/to_k/to_v into one to_qkv linear (and, for MMDiT joint
+    attention, to_q_c/to_k_c/to_v_c into to_qkv_c).
 
     Works on a single block or on depth-stacked params (kernels [..., d, inner]
-    concatenated on the output axis). `self_attention` dispatches on the
-    presence of "to_qkv". int8 quantization composes: per-output-channel
-    scales concatenate exactly. `dtype` casts the fused kernel (the training
-    path fuses a per-step VIEW of the f32 params and casts it straight to the
-    compute dtype so the concat materializes at half the bytes — `linear`
-    would cast per-use anyway, so numerics are unchanged)."""
+    concatenated on the output axis). `self_attention` / mmdit._joint_attention
+    dispatch on the presence of "to_qkv". int8 quantization composes:
+    per-output-channel scales concatenate exactly. `dtype` casts the fused
+    kernel (the training path fuses a per-step VIEW of the f32 params and
+    casts it straight to the compute dtype so the concat materializes at half
+    the bytes — `linear` would cast per-use anyway, so numerics are
+    unchanged)."""
     if "to_qkv" in attn or "to_q" not in attn:
         return attn
-    if "to_q_c" in attn:  # MMDiT joint attention consumes to_q/k/v directly
-        return attn
-    out = {k: v for k, v in attn.items() if k not in ("to_q", "to_k", "to_v")}
-    parts = [attn["to_q"], attn["to_k"], attn["to_v"]]
     cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
-    fused = {"w": jnp.concatenate([cast(p["w"]) for p in parts], axis=-1)}
-    if "b" in parts[0]:
-        fused["b"] = jnp.concatenate([cast(p["b"]) for p in parts], axis=-1)
-    out["to_qkv"] = fused
+
+    def fuse3(names):
+        parts = [attn[nm] for nm in names]
+        fused = {"w": jnp.concatenate([cast(p["w"]) for p in parts], axis=-1)}
+        if "b" in parts[0]:
+            fused["b"] = jnp.concatenate([cast(p["b"]) for p in parts], axis=-1)
+        return fused
+
+    drop = {"to_q", "to_k", "to_v", "to_q_c", "to_k_c", "to_v_c"}
+    out = {k: v for k, v in attn.items() if k not in drop}
+    out["to_qkv"] = fuse3(("to_q", "to_k", "to_v"))
+    if "to_q_c" in attn:
+        out["to_qkv_c"] = fuse3(("to_q_c", "to_k_c", "to_v_c"))
     return out
 
 
 def fuse_backbone_qkv(params: Params, dtype=None) -> Params:
     """Apply fuse_attention_qkv to every attention stack a backbone carries
-    (DiT: "blocks"; UNetT: "first_half"/"second_half"). Param prep shared by
-    the pipeline, bench.py, rtf_bench, and the training step (per-step view)."""
+    (DiT/MMDiT: "blocks" + MMDiT's unstacked "last_block"; UNetT:
+    "first_half"/"second_half"). Param prep shared by the pipeline, bench.py,
+    rtf_bench, and the training step (per-step view)."""
     out = dict(params)
-    for stack in ("blocks", "first_half", "second_half"):
+    for stack in ("blocks", "first_half", "second_half", "last_block"):
         if stack in out and isinstance(out[stack], dict) and "attn" in out[stack]:
             grp = dict(out[stack])
             grp["attn"] = fuse_attention_qkv(grp["attn"], dtype=dtype)

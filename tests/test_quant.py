@@ -122,7 +122,7 @@ def test_quantize_unett_params_and_forward():
 
 def test_quantize_mmdit_params_and_forward():
     """int8 covers MMDiT's dual-stream blocks (incl. the unstacked last_block);
-    fuse_backbone_qkv must leave joint-attention projections unfused."""
+    fuse_backbone_qkv fuses BOTH streams (to_qkv + to_qkv_c, r3)."""
     from f5tts_tpu.models import mmdit
     from f5tts_tpu.models.modules import fuse_backbone_qkv
 
@@ -132,10 +132,11 @@ def test_quantize_mmdit_params_and_forward():
     params = jax.tree.map(lambda a: a + 0.02 * jnp.ones_like(a), params)
 
     fused = fuse_backbone_qkv(params)
-    assert "to_qkv" not in fused["blocks"]["attn"]  # joint attn: no fusion
+    assert "to_qkv" in fused["blocks"]["attn"]
+    assert "to_qkv_c" in fused["blocks"]["attn"]
     qparams = quant.quantize_dit_params(fused)
-    assert "w_i8" in qparams["blocks"]["attn"]["to_q"]
-    assert "w_i8" in qparams["blocks"]["attn"]["to_q_c"]
+    assert "w_i8" in qparams["blocks"]["attn"]["to_qkv"]
+    assert "w_i8" in qparams["blocks"]["attn"]["to_qkv_c"]
     assert "w_i8" in qparams["last_block"]["ff_x"]["in"]
 
     statics = mmdit.MMDiTStatics(arch)
@@ -149,3 +150,99 @@ def test_quantize_mmdit_params_and_forward():
     out = np.asarray(mmdit.mmdit_forward(qparams, statics, x, cond, text, t))
     cos = float((ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out)))
     assert cos > 0.999, cos
+
+
+def test_smooth_hedge_improves_outlier_drift():
+    """Outlier-channel hedge (VERDICT r2 weak #2): with heavy-tailed
+    residual channels injected into the weights, smooth=True (per-channel
+    activation equalization, exact fp reparametrization) must cut the int8
+    forward drift versus plain per-token quantization."""
+    from f5tts_tpu.models import dit
+    from f5tts_tpu.models.modules import fuse_backbone_qkv
+    from f5tts_tpu.scripts.int8_quality_ab import (
+        _activate_zero_init, _inject_outlier_channels)
+
+    arch = ModelArch(dim=128, depth=3, heads=2, dim_head=64, ff_mult=2,
+                     mel_dim=16, text_num_embeds=30, text_dim=32, conv_layers=1)
+    params = _activate_zero_init(dit.init_dit(jax.random.PRNGKey(0), arch),
+                                 jax.random.PRNGKey(42))
+    params = _inject_outlier_channels(params, jax.random.PRNGKey(7),
+                                      n_channels=3, scale=80.0)
+    fused = fuse_backbone_qkv(params)
+    statics = dit.DiTStatics(arch)
+    rng = np.random.default_rng(0)
+    b, nseq, nt = 2, 64, 12
+    x = jnp.asarray(rng.standard_normal((b, nseq, 16)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, nseq, 16)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (b, nt)), jnp.int32)
+    t = jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32)
+
+    ref = np.asarray(dit.dit_forward(fused, statics, x, cond, text, t,
+                                     backend="xla"))
+    idx = quant.flag_outlier_channels(params)
+    assert idx.size == 3  # exactly the injected channels
+    qp = quant.quantize_dit_params(fused)
+    qs = quant.quantize_dit_params(fused, smooth=True)
+    attn = qs["blocks"]["attn"]
+    assert "act_mask" in attn["to_qkv"] and "w_out" in attn["to_qkv"]
+    assert "act_mask" not in attn["to_out"]  # writers untouched
+    out_p = np.asarray(dit.dit_forward(qp, statics, x, cond, text, t,
+                                       backend="xla"))
+    out_s = np.asarray(dit.dit_forward(qs, statics, x, cond, text, t,
+                                       backend="xla"))
+    e_plain = np.linalg.norm(out_p - ref) / np.linalg.norm(ref)
+    e_smooth = np.linalg.norm(out_s - ref) / np.linalg.norm(ref)
+    assert np.isfinite(out_s).all()
+    # at this toy scale the outlier share of total drift is small — assert
+    # monotone improvement; the production-scale bound lives in the TPU A/B
+    # (int8_quality_ab --outlier-sim --smooth, BENCH_HISTORY)
+    assert e_smooth < e_plain, (e_plain, e_smooth)
+
+
+def test_smooth_noop_without_outliers():
+    """With no heavy-tailed channels, no channel is flagged: smooth=True is
+    structurally identical to plain quantization."""
+    from f5tts_tpu.models import dit
+    from f5tts_tpu.models.modules import fuse_backbone_qkv
+    from f5tts_tpu.scripts.int8_quality_ab import _activate_zero_init
+
+    arch = ModelArch(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2,
+                     mel_dim=16, text_num_embeds=30, text_dim=32, conv_layers=1)
+    params = _activate_zero_init(dit.init_dit(jax.random.PRNGKey(0), arch),
+                                 jax.random.PRNGKey(42))
+    assert quant.flag_outlier_channels(params).size == 0
+    fused = fuse_backbone_qkv(params)
+    qs = quant.quantize_dit_params(fused, smooth=True)
+    qp = quant.quantize_dit_params(fused)
+    assert "act_mask" not in qs["blocks"]["attn"]["to_qkv"]
+    np.testing.assert_array_equal(
+        np.asarray(qs["blocks"]["attn"]["to_qkv"]["w_i8"]),
+        np.asarray(qp["blocks"]["attn"]["to_qkv"]["w_i8"]))
+
+
+def test_hedged_int8_linear_decomposition():
+    """y = dot_int8(x*mask) + x[..., idx] @ w_out: with outlier activation
+    channels (60x), the hedged decomposition tracks the fp product far
+    tighter than plain per-token quantization."""
+    rng = np.random.default_rng(5)
+    k, n = 256, 128
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.float32)
+    x = np.asarray(rng.standard_normal((16, k)), np.float32)
+    idx = np.asarray([3, 17], np.int32)
+    x[:, idx] *= 60.0
+    x = jnp.asarray(x)
+    want = np.asarray(x @ w)
+
+    w_i8, scale = quant.quantize_weight(w)
+    plain = np.asarray(quant.int8_linear({"w_i8": w_i8, "w_scale": scale}, x))
+
+    mask = np.ones((k,), np.float32)
+    mask[idx] = 0.0
+    wm_i8, wm_scale = quant.quantize_weight(w * mask[:, None])
+    p = {"w_i8": wm_i8, "w_scale": wm_scale, "act_mask": jnp.asarray(mask),
+         "out_idx": jnp.asarray(idx), "w_out": jnp.take(w, jnp.asarray(idx), axis=0)}
+    hedged = np.asarray(quant.int8_linear(p, x))
+
+    e_plain = np.linalg.norm(plain - want) / np.linalg.norm(want)
+    e_hedged = np.linalg.norm(hedged - want) / np.linalg.norm(want)
+    assert e_hedged < 0.25 * e_plain, (e_plain, e_hedged)
