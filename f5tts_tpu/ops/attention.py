@@ -1013,6 +1013,10 @@ def _bias_decomposed_ref(qkv, cos, sin, kmask, heads: int):
     return o.transpose(0, 2, 1, 3).reshape(b, n, hd)
 
 
+# test hook: route the bias megakernel in interpret mode off-TPU
+FORCE_BIAS_KERNEL = False
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_qkv_rope_attention_bias(qkv, cos, sin, kmask, heads: int):
     """Flat fused QKV+RoPE attention with an arbitrary [b, n] key mask.
@@ -1024,7 +1028,7 @@ def fused_qkv_rope_attention_bias(qkv, cos, sin, kmask, heads: int):
     b, n, hd3 = qkv.shape
     hd = hd3 // 3
     d = hd // heads
-    if (jax.default_backend() == "tpu" and n % 128 == 0
+    if ((jax.default_backend() == "tpu" or FORCE_BIAS_KERNEL) and n % 128 == 0
             and n <= SINGLE_PASS_MAX_N and d in (64, 128) and hd % 128 == 0):
         return _fused_qkv_bias_impl(qkv, cos, sin, kmask, heads)
     return _bias_decomposed_ref(qkv, cos, sin, kmask, heads)

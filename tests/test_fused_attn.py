@@ -139,3 +139,25 @@ def test_self_attention_cpu_ignores_rope_tabs():
     c = m.self_attention(p, x, heads, angles, lengths, None, "xla",
                          rope_tabs=tabs)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=0, rtol=0)
+
+
+@pytest.mark.parametrize("heads,d", [(8, 64), (4, 128)])
+def test_bias_megakernel_matches_decomposed(heads, d, monkeypatch):
+    """Bias-masked flat megakernel (MMDiT joint attention) in interpret mode
+    vs the XLA decomposition, with dead keys in the MIDDLE of the sequence."""
+    from f5tts_tpu.ops import attention as att
+
+    monkeypatch.setattr(att, "FORCE_BIAS_KERNEL", True)
+    b, n = 2, 256
+    hd = heads * d
+    qkv = jax.random.normal(jax.random.PRNGKey(8), (b, n, 3 * hd), jnp.float32)
+    angles = rope_freqs_interleaved(d, n)
+    cos, sin = rope_flat_tables(angles, n, heads, dtype=jnp.float32)
+    kmask = np.ones((b, n), bool)
+    kmask[0, 100:180] = False  # mid-sequence dead keys (audio padding)
+    kmask[1, 200:] = False
+    kmask = jnp.asarray(kmask)
+    out = att.fused_qkv_rope_attention_bias(qkv, cos, sin, kmask, heads)
+    ref = att._bias_decomposed_ref(qkv, cos, sin, kmask, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
