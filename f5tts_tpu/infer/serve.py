@@ -248,11 +248,15 @@ def make_handler(batcher: DynamicBatcher, sr: int,
                 self.wfile.write(b"\r\n")
 
             try:
+                # each text chunk rides the batched serving path (warmed
+                # buckets, i16 wire format, shared device queue with /tts)
                 for text_chunk in chunks:
-                    wave, _ = pipeline.generate_chunk(
-                        wav, ref_text, text_chunk,
-                        speed=body.get("speed"),
-                        fix_duration=body.get("fix_duration"))
+                    wave = batcher.submit({
+                        "ref_wav": wav,
+                        "ref_text": ref_text,
+                        "gen_text": text_chunk,
+                        "speed": body.get("speed"),
+                    })
                     pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
                     if pcm:
                         emit(pcm)
