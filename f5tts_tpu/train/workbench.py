@@ -53,7 +53,7 @@ class Slicer:
     exact cut positions are the behavior contract, so the constructor math
     and the three-case silence branch structure intentionally match the
     published algorithm. The RMS computation itself (cumsum-based, above)
-    was re-derived independently — no librosa."""
+    was re-derived independently — no librosa.
 
     Scans per-hop RMS; a silent run long enough (min_interval) after a clip
     of at least min_length frames produces a cut at the quietest frame of

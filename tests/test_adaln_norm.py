@@ -59,3 +59,27 @@ def test_custom_vjp_matches_ref_grads():
     g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, shift)
     for a, b in zip(g_k, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_rms_norm_fused_kernel_interpret():
+    """Fused RMSNorm kernel (interpret) vs the XLA reference, odd block split."""
+    from f5tts_tpu.ops.adaln_norm import _rms_norm_fwd_pallas, rms_norm_ref
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 512, 256)) * 1.7, jnp.float32)
+    w = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    out = _rms_norm_fwd_pallas(x, w, 1e-8)
+    ref = rms_norm_ref(x, w, 1e-8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_rms_norm_fused_gradients_match_ref():
+    from f5tts_tpu.ops.adaln_norm import rms_norm_fused, rms_norm_ref
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(128), jnp.float32)
+    g1 = jax.grad(lambda a, b: jnp.sum(rms_norm_fused(a, b) ** 2), argnums=(0, 1))(x, w)
+    g2 = jax.grad(lambda a, b: jnp.sum(rms_norm_ref(a, b) ** 2), argnums=(0, 1))(x, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
