@@ -190,6 +190,8 @@ def main(argv=None):
             t.join()
         wall = time.perf_counter() - t0
         server.shutdown()
+        srv_stats = batcher.stats.snapshot()
+        print(batcher.stats.summary(), file=sys.stderr)
         batcher.close()
         lat = np.asarray(latencies) if latencies else np.zeros(1)
         audio_s = sum(samples) / sr
@@ -201,6 +203,7 @@ def main(argv=None):
             "latency_avg_ms": round(float(lat.mean()) * 1e3, 1),
             "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
             "latency_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
+            "server_stats": srv_stats,
         }
 
     def run_stream(n: int):

@@ -239,6 +239,18 @@ def load_checkpoint(model: UTMOS22Strong, path: str) -> dict:
         if k in consumed_raw:
             continue
         mk = _map_key(k)
+        # The SpeechMOS hub module stores domain/judge embeddings as full
+        # nn.Embedding TABLES ([num_domains, 128] / [num_judges, 128]); its
+        # predictor scores with domain id 0 ("main") and judge id 288 (the
+        # mean listener). Select that row for this module's fixed vector.
+        if (mk in ("domain_emb", "judge_emb") and v.ndim == 2
+                and v.shape[1] == EMB_DIM):
+            row = 0 if mk == "domain_emb" else 288
+            if v.shape[0] <= row:
+                raise RuntimeError(
+                    f"utmos22 loader: {k} table has {v.shape[0]} rows, "
+                    f"expected mean-listener row {row} to exist")
+            v = v[row]
         if mk in target and tuple(target[mk].shape) == tuple(v.shape):
             with torch.no_grad():
                 target[mk].copy_(v.to(target[mk].dtype))

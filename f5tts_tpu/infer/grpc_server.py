@@ -26,6 +26,7 @@ from f5tts_tpu.infer.serve import DynamicBatcher, _wav_bytes
 
 SERVICE = "f5tts.TTS"
 METHOD = "Synthesize"
+STATS_METHOD = "Stats"
 
 
 def _make_service(batcher: DynamicBatcher, sr: int):
@@ -42,12 +43,18 @@ def _make_service(batcher: DynamicBatcher, sr: int):
         })
         return _wav_bytes(wave, sr)
 
-    handler = grpc.unary_unary_rpc_method_handler(
-        synthesize,
-        request_deserializer=lambda b: b,
-        response_serializer=lambda b: b,
-    )
-    return grpc.method_handlers_generic_handler(SERVICE, {METHOD: handler})
+    def stats(request_bytes: bytes, context) -> bytes:
+        # server-side queue/compute counters, the analogue of the Triton
+        # model stats the reference's client_grpc.py:425-447 scrapes
+        return json.dumps(batcher.stats.snapshot()).encode()
+
+    def h(fn):
+        return grpc.unary_unary_rpc_method_handler(
+            fn, request_deserializer=lambda b: b,
+            response_serializer=lambda b: b)
+
+    return grpc.method_handlers_generic_handler(
+        SERVICE, {METHOD: h(synthesize), STATS_METHOD: h(stats)})
 
 
 def serve(batcher: DynamicBatcher, sr: int, host: str = "0.0.0.0",
@@ -71,6 +78,19 @@ def synthesize(target: str, ref_path: str, ref_text: str, gen_text: str,
             response_deserializer=lambda b: b,
         )
         return fn(payload, timeout=timeout)
+
+
+def fetch_stats(target: str, timeout: float = 10.0) -> dict:
+    """Client helper: scrape server-side serving stats (queue delay, batch
+    occupancy, execute times) — counterpart of the reference's
+    write_triton_stats scrape (client_grpc.py:425-447)."""
+    with grpc.insecure_channel(target) as channel:
+        fn = channel.unary_unary(
+            f"/{SERVICE}/{STATS_METHOD}",
+            request_serializer=lambda b: b,
+            response_deserializer=lambda b: b,
+        )
+        return json.loads(fn(b"{}", timeout=timeout))
 
 
 def main(argv=None):

@@ -60,7 +60,7 @@ def chunk_text(text: str, max_chars: int = 135) -> list[str]:
 
 def chunk_text_low_ttfb(text: str, first_chunk_chars: tuple = (12, 40, 80),
                         max_chars: int = 135) -> list[str]:
-    """Low-TTFB chunking: leading chunks use small DESCENDING byte budgets so
+    """Low-TTFB chunking: leading chunks use small, GROWING byte budgets so
     the first audio leaves the device quickly, later chunks the normal budget
     (reference socket_server.py:139-143). Packs the sentence list directly
     (same split rules as chunk_text) — a prefix-length cursor desyncs on
@@ -213,6 +213,11 @@ class InferencePipeline:
 
         self._fused_serve = jax.jit(_ft.partial(_serve),
                                     static_argnames=("n_bucket",))
+        # compile-shape tracking for serving observability: every distinct
+        # (batch, wav_bucket, text_bucket, n_bucket) combo is one XLA
+        # executable; a key first seen mid-serve means a remote compile
+        # landed inside a request (BatcherStats surfaces these)
+        self.seen_serve_shapes: set = set()
 
     # -- host-side text prep ------------------------------------------------
 
@@ -401,6 +406,11 @@ class InferencePipeline:
         n_bucket = duration_bucket(int(totals.max()), self.bucket_size,
                                    s.max_duration, self.backbone.seq_extra_tokens)
 
+        shape_key = (b, wav_bucket, int(np.asarray(text_ids).shape[1]),
+                     int(n_bucket))
+        shape_is_cold = shape_key not in self.seen_serve_shapes
+        self.seen_serve_shapes.add(shape_key)
+
         t_grid = make_time_grid(nfe, sway_sampling_coef=sway, use_epss=s.use_epss)
         handle = self._fused_serve(
             self.params, jnp.asarray(wav_i16), jnp.asarray(up_scale),
@@ -408,11 +418,12 @@ class InferencePipeline:
             jnp.asarray(text_ids),
             jnp.asarray(np.minimum(totals, n_bucket), jnp.int32), t_grid,
             jnp.float32(cfg_v), jax.random.PRNGKey(seed), n_bucket=n_bucket)
-        return handle, (ref_lens, totals, n_bucket)
+        return handle, (ref_lens, totals, n_bucket, shape_is_cold)
 
     def finalize_batch(self, pending) -> list[np.ndarray]:
         """Fetch + slice the result of a generate_batch_async dispatch."""
-        handle, (ref_lens, totals, n_bucket) = pending
+        handle, meta = pending
+        ref_lens, totals, n_bucket = meta[:3]
         waves_all = np.asarray(handle)
         results = []
         for i in range(len(ref_lens)):

@@ -38,6 +38,108 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
+    t_enqueue: float = field(default_factory=time.perf_counter)
+    t_dispatch: float = 0.0
+
+
+class BatcherStats:
+    """Server-side serving counters — the analogue of the Triton stats the
+    reference scrapes into a summary (client_grpc.py:50 write_triton_stats,
+    :425-447): per-request queue delay, per-batch execute time and occupancy,
+    and compile-shape events (a new (batch, bucket) combo after warmup means
+    a multi-minute remote compile landed inside a request)."""
+
+    _MAX_SAMPLES = 100_000
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.reset()
+
+    def reset(self):
+        with self._lock:
+            self.n_success = 0
+            self.n_error = 0
+            self.queue_delays: list[float] = []
+            self.exec_times: list[float] = []       # per batch, dispatch->results
+            self.batch_sizes: list[int] = []
+            self.shapes_seen: dict[tuple, int] = {}  # (batch, n_bucket) -> hits
+            self.new_shape_events: list[tuple] = []  # shapes first seen mid-serve
+
+    def record_dispatch(self, batch: list, now: float):
+        with self._lock:
+            if len(self.queue_delays) < self._MAX_SAMPLES:
+                self.queue_delays.extend(now - r.t_enqueue for r in batch)
+            self.batch_sizes.append(len(batch))
+
+    def record_shape(self, batch_size: int, n_bucket: int, cold: bool = False):
+        """`cold` comes from the pipeline's persistent shape tracking
+        (InferencePipeline.seen_serve_shapes), so warmup sweeps run directly
+        on the pipeline mark their shapes warm for every later batcher."""
+        key = (batch_size, n_bucket)
+        with self._lock:
+            if cold:
+                self.new_shape_events.append(key)
+            self.shapes_seen[key] = self.shapes_seen.get(key, 0) + 1
+
+    def record_done(self, n_requests: int, exec_s: float, ok: bool):
+        with self._lock:
+            if len(self.exec_times) < self._MAX_SAMPLES:
+                self.exec_times.append(exec_s)
+            if ok:
+                self.n_success += n_requests
+            else:
+                self.n_error += n_requests
+
+    def snapshot(self) -> dict:
+        def pct(xs, q):
+            return round(float(np.percentile(xs, q)) * 1e3, 2) if xs else None
+
+        with self._lock:
+            qd, et, bs = self.queue_delays, self.exec_times, self.batch_sizes
+            occ = {}
+            for b in bs:
+                occ[str(b)] = occ.get(str(b), 0) + 1
+            return {
+                "request_count": self.n_success + self.n_error,
+                "success_count": self.n_success,
+                "error_count": self.n_error,
+                "batch_count": len(bs),
+                "avg_batch_size": round(sum(bs) / len(bs), 2) if bs else None,
+                "batch_occupancy": occ,
+                "queue_delay_avg_ms": (round(sum(qd) / len(qd) * 1e3, 2)
+                                       if qd else None),
+                "queue_delay_p50_ms": pct(qd, 50),
+                "queue_delay_p99_ms": pct(qd, 99),
+                "exec_avg_ms": (round(sum(et) / len(et) * 1e3, 2)
+                                if et else None),
+                "exec_p50_ms": pct(et, 50),
+                "exec_p99_ms": pct(et, 99),
+                "compile_shapes": {f"b{b}_n{n}": c
+                                   for (b, n), c in sorted(self.shapes_seen.items())},
+                "cold_shape_events": [f"b{b}_n{n}"
+                                      for b, n in self.new_shape_events],
+            }
+
+    def summary(self) -> str:
+        """Human-readable report in the spirit of the reference's
+        write_triton_stats output."""
+        s = self.snapshot()
+        lines = [
+            "serving stats:",
+            f"  requests: {s['request_count']} "
+            f"(ok {s['success_count']} / err {s['error_count']})",
+            f"  batches: {s['batch_count']}, avg occupancy "
+            f"{s['avg_batch_size']}, histogram {s['batch_occupancy']}",
+            f"  queue delay ms: avg {s['queue_delay_avg_ms']} "
+            f"p50 {s['queue_delay_p50_ms']} p99 {s['queue_delay_p99_ms']}",
+            f"  batch execute ms: avg {s['exec_avg_ms']} "
+            f"p50 {s['exec_p50_ms']} p99 {s['exec_p99_ms']}",
+            f"  compile shapes (batch,bucket)->hits: {s['compile_shapes']}",
+        ]
+        if s["cold_shape_events"]:
+            lines.append(f"  COLD shapes first seen mid-serve (likely remote "
+                         f"compiles inside requests): {s['cold_shape_events']}")
+        return "\n".join(lines)
 
 
 class DynamicBatcher:
@@ -49,6 +151,7 @@ class DynamicBatcher:
         self.pipeline = pipeline
         self.max_batch_size = max_batch_size
         self.max_queue_delay_s = max_queue_delay_s
+        self.stats = BatcherStats()
         self.q: "queue.Queue[_Request]" = queue.Queue()
         # two-stage pipeline: the dispatch loop issues the NEXT batch's
         # device call while the finalizer thread blocks on the previous
@@ -94,11 +197,20 @@ class DynamicBatcher:
             self._run(batch)
 
     def _run(self, batch: list[_Request]):
+        now = time.perf_counter()
+        for r in batch:
+            r.t_dispatch = now
+        self.stats.record_dispatch(batch, now)
         try:
             pending = self.pipeline.generate_batch_async(
                 [r.payload for r in batch])
+            # pending = (handle, (ref_lens, totals, n_bucket, shape_is_cold))
+            meta = pending[1]
+            self.stats.record_shape(len(batch), meta[2],
+                                    cold=bool(meta[3]) if len(meta) > 3 else False)
             self._pending.put((batch, pending))  # finalizer fetches + replies
         except Exception as e:  # propagate per-request
+            self.stats.record_done(len(batch), time.perf_counter() - now, False)
             for r in batch:
                 r.error = f"{type(e).__name__}: {e}"
                 r.done.set()
@@ -111,10 +223,14 @@ class DynamicBatcher:
                 continue
             try:
                 waves = self.pipeline.finalize_batch(pending)
+                self.stats.record_done(
+                    len(batch), time.perf_counter() - batch[0].t_dispatch, True)
                 for r, w in zip(batch, waves):
                     r.result = w
                     r.done.set()
             except Exception as e:
+                self.stats.record_done(
+                    len(batch), time.perf_counter() - batch[0].t_dispatch, False)
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
                     r.done.set()
@@ -174,17 +290,30 @@ def warmup(pipeline: InferencePipeline, buckets: list[int] | None = None,
 
 def make_handler(batcher: DynamicBatcher, sr: int,
                  pipeline: Optional[InferencePipeline] = None):
-    """HTTP handler: POST /tts (batched, full WAV response) and, when
+    """HTTP handler: POST /tts (batched, full WAV response), GET /stats
+    (JSON BatcherStats snapshot — the Triton-stats analogue) and, when
     `pipeline` is given, POST /tts_stream — a chunked s16le PCM stream with
-    the socket server's low-TTFB policy (descending first-chunk text budgets,
-    reference socket_server.py:139-143): the first audio bytes leave after
-    the FIRST small text chunk's synthesis instead of the whole request's."""
+    the socket server's low-TTFB policy (small, growing first-chunk text
+    budgets, reference socket_server.py:139-143): the first audio bytes
+    leave after the FIRST small text chunk's synthesis instead of the whole
+    request's."""
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
         def log_message(self, *a):
             pass
+
+        def do_GET(self):
+            if self.path == "/stats":
+                out = json.dumps(batcher.stats.snapshot()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+            else:
+                self.send_error(404)
 
         def _read_body(self):
             length = int(self.headers.get("Content-Length", 0))
@@ -261,8 +390,13 @@ def make_handler(batcher: DynamicBatcher, sr: int,
                     if pcm:
                         emit(pcm)
                         self.wfile.flush()
-            finally:
-                self.wfile.write(b"0\r\n\r\n")
+            except Exception:
+                # do NOT emit the chunked terminator on a mid-stream failure:
+                # a cleanly terminated stream is indistinguishable from
+                # success. Drop the connection so the client sees an error.
+                self.close_connection = True
+                return
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

@@ -383,9 +383,13 @@ def mmdit_forward(
     # flat rope tables for the bias megakernel: per-stream tables
     # concatenated on the sequence axis, so joint rows rotate with their own
     # stream's positions without in-kernel branching. Built once per forward
-    # (hoisted out of the block scan); engages only for fused-QKV params.
+    # (hoisted out of the block scan); engages only for fused-QKV params AND
+    # backend="pallas" — backend="xla" must stay a pure XLA oracle (and a
+    # TP-sharded tree must not feed sharded arrays into an unsharded
+    # pallas_call), mirroring self_attention's use_kernel gate.
     joint_tabs = None
-    if "to_qkv" in params["blocks"]["attn"] and "q_norm" not in params["blocks"]["attn"]:
+    if (use_kernel and "to_qkv" in params["blocks"]["attn"]
+            and "q_norm" not in params["blocks"]["attn"]):
         from f5tts_tpu.ops.rope import rope_flat_tables
 
         ca, sa = rope_flat_tables(rope_audio, n, arch.heads, None, dtype=dtype)

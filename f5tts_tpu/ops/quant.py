@@ -48,7 +48,8 @@ def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def flag_outlier_channels(params: Params, threshold: float = 4.0,
-                          max_channels: int = 16) -> np.ndarray:
+                          max_channels: int = 16,
+                          writers: tuple = None) -> np.ndarray:
     """Statically flag heavy-tailed residual-stream channels.
 
     Trained transformers develop a few residual channels with 10-100x
@@ -56,20 +57,24 @@ def flag_outlier_channels(params: Params, threshold: float = 4.0,
     dominate every downstream projection's per-token amax, crushing
     quantization resolution for the other ~1020 channels (measured on the
     outlier-sim A/B: mel rel-L2 1.5% -> 6.2%, SNR 34.6 -> 22.7 dB). The
-    channels are visible statically in the output columns of attn.to_out /
-    ff.out — the projections that WRITE the residual — so no activation
-    calibration pass is needed: r[c] = rms over (layers, rows) of those
-    columns; channels with r > threshold*median (up to `max_channels`,
-    largest first) are flagged. Returns a sorted int32 index array
-    (possibly empty).
+    channels are visible statically in the output columns of the
+    projections that WRITE the residual (default: the audio stream's
+    attn.to_out / ff.out / MMDiT ff_x.out; pass
+    `writers=_RESIDUAL_WRITERS["context"]` for MMDiT's context stream) —
+    so no activation calibration pass is needed: r[c] = rms over
+    (layers, rows) of those columns; channels with r > threshold*median
+    (up to `max_channels`, largest first) are flagged. Returns a sorted
+    int32 index array (possibly empty).
     """
+    if writers is None:
+        writers = _RESIDUAL_WRITERS["audio"]
     sq_sum = None
     count = 0
     for stack in _BLOCK_STACKS:
         blocks = params.get(stack)
         if not isinstance(blocks, dict):
             continue
-        for mod, name in (("attn", "to_out"), ("ff", "out")):
+        for mod, name in writers:
             leaf = blocks.get(mod, {}).get(name)
             if leaf is None or "w" not in leaf:
                 continue
@@ -140,9 +145,24 @@ _QUANT_LEAVES = (
 _BLOCK_STACKS = ("blocks", "first_half", "second_half", "last_block")
 
 
-# audio-stream residual consumers eligible for activation equalization
-_SMOOTH_LEAVES = {("attn", "to_qkv"), ("attn", "to_q"), ("attn", "to_k"),
-                  ("attn", "to_v"), ("ff", "in")}
+# residual WRITERS per stream (the columns outliers are visible in):
+# MMDiT keeps two residual streams — audio (x) and context (c) — with
+# disjoint writer/consumer leaves, so each stream gets its own flag pass
+_RESIDUAL_WRITERS = {
+    "audio": (("attn", "to_out"), ("ff", "out"), ("ff_x", "out")),
+    "context": (("attn", "to_out_c"), ("ff_c", "out")),
+}
+
+# residual CONSUMERS eligible for the outlier decomposition, keyed to the
+# stream whose flagged channels they read
+_SMOOTH_LEAVES = {
+    ("attn", "to_qkv"): "audio", ("attn", "to_q"): "audio",
+    ("attn", "to_k"): "audio", ("attn", "to_v"): "audio",
+    ("ff", "in"): "audio", ("ff_x", "in"): "audio",
+    ("attn", "to_qkv_c"): "context", ("attn", "to_q_c"): "context",
+    ("attn", "to_k_c"): "context", ("attn", "to_v_c"): "context",
+    ("ff_c", "in"): "context",
+}
 
 
 def quantize_dit_params(params: Params, smooth: bool = False,
@@ -166,13 +186,19 @@ def quantize_dit_params(params: Params, smooth: bool = False,
     """
     params = jax.tree.map(lambda a: a, params)  # rebuild containers, share leaves
 
-    out_idx = flag_outlier_channels(params, smooth_threshold) if smooth \
-        else np.zeros((0,), np.int32)
+    empty = np.zeros((0,), np.int32)
+    stream_idx = {
+        s: (flag_outlier_channels(params, smooth_threshold,
+                                  writers=_RESIDUAL_WRITERS[s])
+            if smooth else empty)
+        for s in _RESIDUAL_WRITERS
+    }
 
-    def quantize_leaf(d: Params, equalize: bool) -> Params:
+    def quantize_leaf(d: Params, stream) -> Params:
         w = d["w"]
         out = {}
-        if equalize and out_idx.size:
+        out_idx = stream_idx[stream] if stream else empty
+        if out_idx.size:
             mask = np.ones((w.shape[-2],), np.float32)
             mask[out_idx] = 0.0
             w_out = jnp.take(w, jnp.asarray(out_idx), axis=-2)
@@ -193,7 +219,7 @@ def quantize_dit_params(params: Params, smooth: bool = False,
         for mod, name in _QUANT_LEAVES:
             if mod in tree and name in tree[mod] and "w" in tree[mod][name]:
                 tree[mod][name] = quantize_leaf(
-                    tree[mod][name], (mod, name) in _SMOOTH_LEAVES)
+                    tree[mod][name], _SMOOTH_LEAVES.get((mod, name)))
 
     for stack in _BLOCK_STACKS:
         blocks = params.get(stack)

@@ -246,3 +246,82 @@ def test_hedged_int8_linear_decomposition():
     e_plain = np.linalg.norm(plain - want) / np.linalg.norm(want)
     e_hedged = np.linalg.norm(hedged - want) / np.linalg.norm(want)
     assert e_hedged < 0.25 * e_plain, (e_plain, e_hedged)
+
+
+def test_smooth_engages_for_mmdit_streams():
+    """MMDiT keeps TWO residual streams; the outlier hedge must flag each
+    stream from its own writers (to_out/ff_x.out vs to_out_c/ff_c.out) and
+    decompose that stream's consumers (ADVICE r3: previously the hedge
+    silently never engaged for MMDiT)."""
+    from f5tts_tpu.models import mmdit
+    from f5tts_tpu.models.modules import fuse_backbone_qkv
+
+    arch = ModelArch(dim=64, depth=3, heads=2, dim_head=32, ff_mult=2,
+                     mel_dim=16, text_num_embeds=30, text_mask_padding=True)
+    params = mmdit.init_mmdit(jax.random.PRNGKey(0), arch)
+
+    def scale_cols(leaf, cols, s=100.0):
+        w = np.asarray(leaf["w"], np.float32).copy()
+        w[..., cols] *= s
+        leaf["w"] = jnp.asarray(w)
+
+    # AdaLN-zero gates make a raw random-init MMDiT the zero function —
+    # randomize the modulation + output-proj weights or the forward A/B
+    # below measures 0-vs-0 (see CLAUDE.md)
+    def randomize(subtree, key):
+        leaves, treedef = jax.tree.flatten(subtree)
+        keys = jax.random.split(key, len(leaves))
+        return treedef.unflatten(
+            [0.02 * jax.random.normal(k, l.shape, l.dtype)
+             for k, l in zip(keys, leaves)])
+
+    for i, name in enumerate(("attn_norm_x", "attn_norm_c")):
+        params["blocks"][name] = randomize(params["blocks"][name],
+                                           jax.random.PRNGKey(100 + i))
+        params["last_block"][name] = randomize(params["last_block"][name],
+                                               jax.random.PRNGKey(200 + i))
+    params["norm_out"] = randomize(params["norm_out"], jax.random.PRNGKey(300))
+    params["proj_out"] = randomize(params["proj_out"], jax.random.PRNGKey(301))
+
+    # audio-stream outliers in channels {3, 7}; context-stream in {5}
+    scale_cols(params["blocks"]["attn"]["to_out"], [3, 7])
+    scale_cols(params["blocks"]["ff_x"]["out"], [3, 7])
+    scale_cols(params["blocks"]["attn"]["to_out_c"], [5])
+    scale_cols(params["blocks"]["ff_c"]["out"], [5])
+
+    a_idx = quant.flag_outlier_channels(
+        params, writers=quant._RESIDUAL_WRITERS["audio"])
+    c_idx = quant.flag_outlier_channels(
+        params, writers=quant._RESIDUAL_WRITERS["context"])
+    np.testing.assert_array_equal(a_idx, [3, 7])
+    np.testing.assert_array_equal(c_idx, [5])
+
+    fused = fuse_backbone_qkv(params)
+    qs = quant.quantize_dit_params(fused, smooth=True)
+    attn = qs["blocks"]["attn"]
+    # audio consumers decomposed with the audio flags
+    assert "act_mask" in attn["to_qkv"]
+    am = np.asarray(attn["to_qkv"]["act_mask"])[0]
+    assert am[3] == 0 and am[7] == 0 and am[5] == 1
+    assert "act_mask" in qs["blocks"]["ff_x"]["in"]
+    # context consumers decomposed with the context flags
+    assert "act_mask" in attn["to_qkv_c"]
+    cm = np.asarray(attn["to_qkv_c"]["act_mask"])[0]
+    assert cm[5] == 0 and cm[3] == 1 and cm[7] == 1
+    assert "act_mask" in qs["blocks"]["ff_c"]["in"]
+    # writers stay plain int8
+    assert "act_mask" not in attn["to_out"]
+    assert "act_mask" not in qs["blocks"]["ff_c"]["out"]
+
+    # forward stays exact-decomposition sane
+    statics = mmdit.MMDiTStatics(arch)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 16)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((2, 64, 16)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (2, 12)), jnp.int32)
+    t = jnp.asarray(rng.uniform(0, 1, (2,)), jnp.float32)
+    ref = np.asarray(mmdit.mmdit_forward(fused, statics, x, cond, text, t))
+    out = np.asarray(mmdit.mmdit_forward(qs, statics, x, cond, text, t))
+    assert np.isfinite(out).all()
+    cos = float((ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out) + 1e-12))
+    assert cos > 0.99, cos

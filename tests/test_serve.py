@@ -150,3 +150,66 @@ def test_warmup_bucket_mapping_backbone_aware():
     for extra in (0, 1):
         for w in widths([256, 512, 1024], extra):
             assert duration_bucket(w, 256, 4096, extra) == w
+
+
+def test_batcher_stats_and_http_stats_endpoint():
+    """Serving observability (VERDICT r3 #6): the batcher exports queue-delay /
+    batch-occupancy / execute-time counters plus compile-shape events, and
+    the HTTP server serves them at GET /stats."""
+    import json
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from f5tts_tpu.infer.serve import make_handler
+
+    pipe = _pipeline()
+    batcher = DynamicBatcher(pipe, max_batch_size=4, max_queue_delay_s=0.2)
+    try:
+        # two concurrent requests -> one batch of 2 (cold shapes: nothing
+        # warmed this pipeline yet)
+        results = [None, None]
+
+        def call(i):
+            results[i] = batcher.submit(_req(i))
+
+        ts = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert all(r is not None for r in results)
+
+        s = batcher.stats.snapshot()
+        assert s["success_count"] == 2 and s["error_count"] == 0
+        assert s["batch_count"] == 1 and s["batch_occupancy"] == {"2": 1}
+        assert s["queue_delay_avg_ms"] is not None
+        assert s["exec_avg_ms"] is not None and s["exec_avg_ms"] > 0
+        assert len(s["compile_shapes"]) == 1
+        assert s["cold_shape_events"]  # first time this shape is seen
+        assert "COLD" in batcher.stats.summary()
+
+        # a repeat PAIR of the same shape is warm now (a single request
+        # would be batch=1 — a different executable, hence cold)
+        ts = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        s2 = batcher.stats.snapshot()
+        assert len(s2["cold_shape_events"]) == len(s["cold_shape_events"])
+        assert s2["compile_shapes"]["b2_n256"] == 2
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                     make_handler(batcher, pipe.sr))
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats",
+                                        timeout=10) as r:
+                body = json.loads(r.read())
+            assert body["success_count"] == 4
+            assert body["batch_occupancy"]["2"] == 2
+        finally:
+            server.shutdown()
+    finally:
+        batcher.close()

@@ -84,3 +84,35 @@ def test_forward_score_shape_and_range(saved_ckpt):
     assert torch.isfinite(score24).all()
     # same audio content at both rates -> nearly identical score
     torch.testing.assert_close(score, score24, atol=0.2, rtol=0.2)
+
+
+def test_loader_accepts_hub_embedding_tables(saved_ckpt):
+    """The SpeechMOS hub module stores domain/judge embeddings as full
+    nn.Embedding tables; the loader must select row 0 (domain 'main') and
+    row 288 (mean listener) instead of shape-mismatching (ADVICE r3)."""
+    path, ref = saved_ckpt
+    sd = torch.load(path, weights_only=True)
+    torch.manual_seed(7)
+    dom_table = torch.randn(2, 128)
+    judge_table = torch.randn(3000, 128)
+    sd["domain_emb.weight"] = dom_table
+    sd["judge_emb.weight"] = judge_table
+    del sd["domain_emb"], sd["judge_emb"]
+    hub = path + ".hub"
+    torch.save(sd, hub)
+    model = UTMOS22Strong()
+    stats = load_checkpoint(model, hub)
+    assert stats["consumed"] == stats["total"]
+    torch.testing.assert_close(model.domain_emb.data, dom_table[0])
+    torch.testing.assert_close(model.judge_emb.data, judge_table[288])
+
+
+def test_loader_refuses_short_judge_table(saved_ckpt):
+    path, _ = saved_ckpt
+    sd = torch.load(path, weights_only=True)
+    sd["judge_emb.weight"] = torch.randn(10, 128)
+    del sd["judge_emb"]
+    short = path + ".short"
+    torch.save(sd, short)
+    with pytest.raises(RuntimeError, match="mean-listener"):
+        load_checkpoint(UTMOS22Strong(), short)
