@@ -157,18 +157,40 @@ def get_inference_prompt(
 # WER
 # ---------------------------------------------------------------------------
 
-_PUNCT = string.punctuation + "。，、；：？！“”‘’（）【】《》"
+# zhon.hanzi.punctuation (the CJK/fullwidth set the reference unions with
+# string.punctuation, utils_eval.py:324-326) — carried as data so the
+# normalization matches without the zhon dependency
+_ZH_PUNCT = (
+    "＂＃＄％＆＇（）＊＋，－／：；＜＝＞＠［＼］＾＿｀｛｜｝～｟｠｢｣､　"
+    "、〃〈〉《》「」『』【】〔〕〖〗〘〙〚〛〜〝〞〟〰〾〿–—‘’‛“”„‟…‧﹏﹑﹔"
+    "·！？｡。"
+)
+_PUNCT = _ZH_PUNCT + string.punctuation
 
 
 def normalize_for_wer(text: str, lang: str = "en") -> list[str]:
-    """Reference :306-374 normalization: strip punctuation, lowercase; zh is
-    scored per character."""
+    """Reference :306-374 normalization, token for token:
+
+    - every punctuation char (zhon.hanzi + string.punctuation) replaced with
+      the EMPTY string — so "don't" scores as one token "dont" and
+      "state-of-the-art" as "stateoftheart" (NOT split on the hyphen);
+    - one literal "  " -> " " pass (the residual whitespace collapse happens
+      in jiwer's wer_default RemoveMultipleSpaces/Strip, here via .split());
+    - zh: every character space-joined (per-char scoring), case PRESERVED —
+      the reference lowercases only the en branch, so Latin text embedded in
+      zh is scored case-sensitively;
+    - en: lowercased.
+
+    Returns the token list jiwer's process_words would align.
+    """
     for ch in _PUNCT:
-        text = text.replace(ch, " " if lang == "en" else "")
-    text = text.lower().strip()
+        text = text.replace(ch, "")
+    text = text.replace("  ", " ")
     if lang == "zh":
-        return [c for c in text.replace(" ", "") if c.strip()]
-    return [w for w in text.split() if w]
+        text = " ".join(text)
+    elif lang == "en":
+        text = text.lower()
+    return text.split()
 
 
 def _edit_distance(ref: list[str], hyp: list[str]) -> int:
@@ -192,11 +214,17 @@ def compute_wer(truth: str, hypothesis: str, lang: str = "en") -> float:
     return _edit_distance(ref, hyp) / len(ref)
 
 
-def run_asr_wer(lang: str, wav_truth_pairs: list[tuple], device: str = "cpu") -> list[dict]:
+def run_asr_wer(lang: str, wav_truth_pairs: list[tuple], device: str = "cpu",
+                asr_fn=None) -> list[dict]:
     """Transcribe generated wavs and score WER. Backends follow the reference
     protocol: zh -> funasr paraformer, en -> faster-whisper large-v3
-    (:306-374); both are optional heavy deps."""
-    if lang == "zh":
+    (:306-374); both are optional heavy deps. `asr_fn` (path -> transcript)
+    overrides the backend — used by the offline CPU smoke test to exercise
+    the scoring loop over pipeline-generated toy wavs without whisper."""
+    asr = asr_fn
+    if asr is not None:
+        pass
+    elif lang == "zh":
         try:
             from funasr import AutoModel
         except ImportError as e:

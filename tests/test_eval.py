@@ -147,3 +147,126 @@ def test_generate_batches_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "a.wav"))
     assert os.path.exists(os.path.join(out_dir, "b.wav"))
     assert stats["rtf"] > 0
+
+
+def test_wer_golden_fixtures_jiwer_semantics():
+    """Golden fixtures pinning compute_wer to the reference's jiwer
+    process_words pipeline (reference utils_eval.py:306-374): punctuation
+    removed with EMPTY string (zhon.hanzi + string.punctuation), one literal
+    double-space pass, en lowercased, zh per-character with case preserved,
+    WER = (S+D+I)/len(ref) and may exceed 1.0 (VERDICT r3 #5)."""
+    fixtures = [
+        # (truth, hypothesis, lang, expected)
+        ("Hello World", "hello world", "en", 0.0),          # case only
+        ("don't stop", "dont stop", "en", 0.0),             # apostrophe joins
+        ("state-of-the-art", "state of the art", "en", 4.0),  # hyphen joins ref
+        # -> ref ["stateoftheart"], hyp 4 tokens: 1 sub + 3 ins over 1 ref
+        ("a  b", "a b", "en", 0.0),                         # double space
+        ("  hello there ", "hello there", "en", 0.0),       # strip
+        ("the quick brown fox", "the quack brown", "en", 0.5),  # 1 sub + 1 del
+        ("one two", "one two three four", "en", 1.0),       # 2 ins / 2 ref
+        ("你好世界", "你好地界", "zh", 0.25),                  # per-char sub
+        ("你好，世界。", "你好世界", "zh", 0.0),                # CJK punctuation
+        ("一 二 三", "一二三", "zh", 0.0),                    # spaces irrelevant
+        ("我用GPU", "我用gpu", "zh", 0.6),                    # zh keeps case: 3 subs / 5
+        ("ＡＢ（Ｃ）", "ＡＢ", "zh", 1 / 3),                  # fullwidth parens stripped, Ｃ kept
+    ]
+    for truth, hypo, lang, expected in fixtures:
+        got = compute_wer(truth, hypo, lang)
+        assert abs(got - expected) < 1e-9, (truth, hypo, lang, got, expected)
+
+
+def test_wer_matches_jiwer_when_available():
+    """When jiwer IS importable, the built-in scorer must agree with it on
+    the exact reference pipeline for a randomized corpus."""
+    import pytest
+
+    pytest.importorskip("jiwer")
+    import random
+    import string as _string
+
+    from jiwer import process_words
+
+    rng = random.Random(0)
+    words = ["alpha", "beta", "Gamma", "don't", "state-of-the-art", "x"]
+    for _ in range(50):
+        truth = " ".join(rng.choices(words, k=rng.randint(1, 8)))
+        hypo = " ".join(rng.choices(words, k=rng.randint(0, 8)))
+        # reference normalization applied to both scorers identically
+        t, h = truth, hypo
+        for x in _string.punctuation:
+            t, h = t.replace(x, ""), h.replace(x, "")
+        t, h = t.replace("  ", " ").lower(), h.replace("  ", " ").lower()
+        if not t.split():
+            continue
+        expected = process_words(t, h).wer
+        assert abs(compute_wer(truth, hypo, "en") - expected) < 1e-9
+
+
+def test_eval_runner_smoke_over_generated_wavs(tmp_path, monkeypatch):
+    """Offline end-to-end smoke (VERDICT r3 #5): toy wavs SYNTHESIZED by the
+    real pipeline land on disk, eval_runner builds the seedtts triples, and
+    run_asr_wer's scoring loop runs with an injected transcriber (the
+    whisper/funasr backends stay weights-gated)."""
+    import dataclasses
+
+    from f5tts_tpu.config import SamplingConfig
+    from f5tts_tpu.eval import eval_runner, utils_eval
+    from f5tts_tpu.infer.pipeline import InferencePipeline
+
+    arch = ModelArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                     mel_dim=100, text_num_embeds=2545, text_dim=16,
+                     conv_layers=1)
+    params = dit.init_dit(jax.random.PRNGKey(0), arch)
+    voc_cfg = VocosConfig(input_channels=100, dim=32, intermediate_dim=64,
+                          num_layers=1)
+    voc = Vocos(init_vocos(jax.random.PRNGKey(1), voc_cfg), voc_cfg)
+    pipe = InferencePipeline(
+        params=params, statics=dit.DiTStatics(arch), vocoder=voc.decode,
+        vocab_char_map=load_vocab("f5tts_tpu/data/vocab_emilia_pinyin.txt"),
+        mel_cfg=MelConfig(),
+        sampling=dataclasses.replace(SamplingConfig(), nfe_steps=2,
+                                     max_duration=512),
+        tokenizer="pinyin", dtype=jnp.float32, backend="xla", bucket_size=128)
+
+    sr = pipe.sr
+    rng = np.random.default_rng(0)
+    prompt_dir = tmp_path / "prompts"
+    gen_dir = tmp_path / "gen"
+    prompt_dir.mkdir()
+    gen_dir.mkdir()
+    truths = {"utt1": "hello there friend", "utt2": "good morning world"}
+    lines = []
+    for utt, truth in truths.items():
+        ref = (rng.standard_normal(12000) * 0.05).astype(np.float32)
+        audio_io.write_wav(str(prompt_dir / f"{utt}_ref.wav"), ref, sr)
+        wave, _, _ = pipe.infer(ref, sr, "a reference. ", truth, nfe_step=2)
+        assert len(wave) > 0 and np.isfinite(wave).all()
+        audio_io.write_wav(str(gen_dir / f"{utt}.wav"), wave, sr)
+        lines.append(f"{utt}|a reference.|{prompt_dir / (utt + '_ref.wav')}|{truth}|gt.wav")
+    meta = tmp_path / "meta.lst"
+    meta.write_text("\n".join(lines) + "\n")
+
+    triples = eval_runner.build_seedtts_test_set(str(meta), str(gen_dir))
+    assert len(triples) == 2
+
+    # injected transcriber: reads the wav (proving the file round-trip) and
+    # returns the truth with one word swapped -> known nonzero WER
+    def fake_asr(path):
+        wav, _ = audio_io.read_wav(path)
+        assert len(wav) > 0
+        utt = os.path.splitext(os.path.basename(path))[0]
+        words = truths[utt].split()
+        words[-1] = "mars"
+        return " ".join(words)
+
+    real_run = utils_eval.run_asr_wer
+
+    def scoring(lang, pairs, device="cpu"):
+        return real_run(lang, pairs, device=device, asr_fn=fake_asr)
+
+    monkeypatch.setattr(utils_eval, "run_asr_wer", scoring)
+    mean = eval_runner.score_test_set("wer", triples, str(gen_dir), lang="en")
+    assert abs(mean - 1 / 3) < 1e-4  # 1 sub over 3 words, both utts (mean is rounded)
+    out = (gen_dir / "_wer_results.jsonl").read_text()
+    assert "utt1" in out and "utt2" in out
