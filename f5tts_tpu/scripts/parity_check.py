@@ -126,6 +126,129 @@ def run_mirror_golden(params, statics, backbone: str, n: int = 256,
     return 0 if ok else 2
 
 
+def leg_vocoder_decode(outs: dict, kind: str, ckpt_path: str,
+                       voc_cfg=None) -> tuple[str, str]:
+    """Decode this run's nfe-16 mel through a REAL converted vocoder and
+    sanity-check the waveform (finite, non-silent). kind: vocos | bigvgan.
+    `voc_cfg` overrides the full-size config (tests use a tiny one)."""
+    import jax.numpy as jnp
+
+    from f5tts_tpu.compat.torch_import import load_torch_checkpoint
+
+    mel = next(iter(outs.values()))  # [b, n, d]
+    mel_bdt = jnp.transpose(jnp.asarray(mel), (0, 2, 1))
+    sd = load_torch_checkpoint(ckpt_path)
+    if kind == "vocos":
+        from f5tts_tpu.compat.torch_import import convert_vocos_state_dict
+        from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig
+
+        cfg = voc_cfg or VocosConfig()
+        voc = Vocos(convert_vocos_state_dict(sd, num_layers=cfg.num_layers), cfg)
+    else:
+        from f5tts_tpu.vocoder.bigvgan import (BigVGAN, BigVGANConfig,
+                                               convert_bigvgan_state_dict)
+
+        cfg = voc_cfg or BigVGANConfig()
+        voc = BigVGAN(convert_bigvgan_state_dict(sd, cfg), cfg)
+    wav = np.asarray(voc.decode(mel_bdt))
+    if not np.all(np.isfinite(wav)):
+        return "FAIL", f"{kind}: non-finite waveform"
+    rms = float(np.sqrt(np.mean(wav ** 2)))
+    if rms <= 1e-7:
+        return "FAIL", f"{kind}: silent waveform (rms {rms:.2e})"
+    return "OK", f"{kind}: wav {wav.shape}, rms {rms:.4f}"
+
+
+def leg_int8_ab(params, statics, nfe: int = 16, n: int = 512,
+                smooth: bool = False) -> tuple[str, str]:
+    """int8-vs-highprec drift on the REAL weights (the BENCH_HISTORY quality
+    gate, scripts/int8_quality_ab.py, as one parity leg): mel rel-L2 + SNR
+    at the serving NFE. Pass/fail bound: rel-L2 < 10% (clean trained weights
+    measured ~1.5%; heavy outliers push plain int8 to ~6% — if this trips,
+    rerun with --smooth)."""
+    import jax
+    import jax.numpy as jnp
+
+    from f5tts_tpu.models import cfm
+    from f5tts_tpu.models.modules import fuse_backbone_qkv
+    from f5tts_tpu.ops.quant import quantize_dit_params
+    from f5tts_tpu.utils import make_time_grid
+
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    hp_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    arch = statics.arch
+    cond, text, lens, duration = build_fixed_inputs(arch, n=n, nt=min(n // 4, 64))
+    t_grid = make_time_grid(nfe, sway_sampling_coef=-1.0)
+
+    fused = fuse_backbone_qkv(params)
+    kw = dict(key=jax.random.PRNGKey(0), cfg_strength=2.0, method="euler",
+              backend=backend)
+    mel_hp = np.asarray(cfm.cfm_sample(fused, statics, cond, text, lens,
+                                       duration, t_grid, dtype=hp_dtype, **kw),
+                        np.float32)
+    qtree = quantize_dit_params(fused, smooth=smooth)
+    mel_q = np.asarray(cfm.cfm_sample(qtree, statics, cond, text, lens,
+                                      duration, t_grid, dtype=hp_dtype, **kw),
+                       np.float32)
+    rel = float(np.linalg.norm(mel_q - mel_hp) / (np.linalg.norm(mel_hp) + 1e-12))
+    snr = float(10 * np.log10(np.mean(mel_hp ** 2)
+                              / (np.mean((mel_q - mel_hp) ** 2) + 1e-12)))
+    detail = (f"int8{'+smooth' if smooth else ''} vs {np.dtype(hp_dtype).name}: "
+              f"mel rel-L2 {rel * 100:.2f}%, SNR {snr:.1f} dB @ {nfe} NFE")
+    return ("OK" if rel < 0.10 else "FAIL"), detail
+
+
+def leg_metric_smoke(wav: np.ndarray, sr: int, workdir: str,
+                     ecapa_ckpt: str = "", utmos_ckpt: str = "") -> list[tuple]:
+    """WER/SIM/UTMOS smoke on one decoded waveform: each scorer loads its
+    real weights (strict loaders) and produces a finite score. Legs without
+    weights report SKIP."""
+    import os
+
+    from f5tts_tpu.infer import audio_io
+
+    rows = []
+    gen_path = os.path.join(workdir, "parity_gen.wav")
+    audio_io.write_wav(gen_path, wav.astype(np.float32), sr)
+
+    # WER backend (whisper transcription through infer.asr)
+    try:
+        from f5tts_tpu.infer.asr import transcribe
+
+        hypo = transcribe(wav.astype(np.float32), sr, language="en")
+        rows.append(("wer-asr", "OK", f"transcript: {hypo[:60]!r}"))
+    except Exception as e:
+        rows.append(("wer-asr", "SKIP", f"{type(e).__name__}: {e}"))
+
+    if ecapa_ckpt:
+        try:
+            from f5tts_tpu.eval.utils_eval import run_sim
+
+            sim = run_sim([(gen_path, gen_path)], ecapa_ckpt)[0]["sim"]
+            ok = np.isfinite(sim) and sim > 0.95  # self-sim must be ~1
+            rows.append(("sim", "OK" if ok else "FAIL", f"self-sim {sim:.4f}"))
+        except Exception as e:
+            rows.append(("sim", "FAIL", f"{type(e).__name__}: {e}"))
+    else:
+        rows.append(("sim", "SKIP", "no --ecapa_ckpt"))
+
+    if utmos_ckpt:
+        try:
+            import torch
+
+            from f5tts_tpu.eval.utmos22 import load_predictor
+
+            model = load_predictor(utmos_ckpt)
+            score = float(model(torch.from_numpy(wav.astype(np.float32))[None], sr)[0])
+            ok = np.isfinite(score) and 0.0 < score < 6.0
+            rows.append(("utmos", "OK" if ok else "FAIL", f"MOS {score:.3f}"))
+        except Exception as e:
+            rows.append(("utmos", "FAIL", f"{type(e).__name__}: {e}"))
+    else:
+        rows.append(("utmos", "SKIP", "no --utmos_ckpt"))
+    return rows
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt", required=True)
@@ -146,7 +269,24 @@ def main(argv=None):
     ap.add_argument("--mirror-nfe", type=int, default=7)
     ap.add_argument("--atol", type=float, default=2e-2)
     ap.add_argument("--rtol", type=float, default=2e-2)
+    ap.add_argument("--full", action="store_true",
+                    help="run EVERY validation leg the provided weights "
+                         "allow in one invocation (VERDICT r3 #8): digestion "
+                         "audit -> mirror golden -> vocoder decode sanity -> "
+                         "int8 A/B (+--smooth variant) -> WER/SIM/UTMOS "
+                         "smoke. Legs without weights report SKIP; any "
+                         "executed leg failing exits 2.")
+    ap.add_argument("--vocos_ckpt", default="", help="vocos weights (.pt/.safetensors)")
+    ap.add_argument("--bigvgan_ckpt", default="", help="bigvgan generator weights")
+    ap.add_argument("--ecapa_ckpt", default="", help="wavlm_large_finetune.pth for SIM")
+    ap.add_argument("--utmos_ckpt", default="", help="utmos22_strong state dict")
+    ap.add_argument("--smooth", action="store_true",
+                    help="also run the int8 outlier-hedge variant in the A/B leg")
+    ap.add_argument("--workdir", default=".",
+                    help="where --full writes its smoke wav")
     args = ap.parse_args(argv)
+    if args.full:
+        args.mirror_golden = True
 
     import jax
 
@@ -193,6 +333,61 @@ def main(argv=None):
                                n=args.mirror_n, nfe=args.mirror_nfe)
         if rc:
             sys.exit(rc)
+
+    # 3b. --full: every remaining validation leg in one pass
+    if args.full:
+        legs: list[tuple] = []
+        voc_wav = None
+        for kind, path in (("vocos", args.vocos_ckpt),
+                           ("bigvgan", args.bigvgan_ckpt)):
+            if not path:
+                legs.append((f"vocoder-{kind}", "SKIP", f"no --{kind}_ckpt"))
+                continue
+            try:
+                status, detail = leg_vocoder_decode(outs, kind, path)
+            except Exception as e:
+                status, detail = "FAIL", f"{type(e).__name__}: {e}"
+            legs.append((f"vocoder-{kind}", status, detail))
+
+        try:
+            status, detail = leg_int8_ab(params, statics)
+            legs.append(("int8-ab", status, detail))
+            if args.smooth:
+                status, detail = leg_int8_ab(params, statics, smooth=True)
+                legs.append(("int8-ab-smooth", status, detail))
+        except Exception as e:
+            legs.append(("int8-ab", "FAIL", f"{type(e).__name__}: {e}"))
+
+        # metric smoke runs on a real decoded wav when a vocoder leg ran,
+        # else on a synthetic tone (scorer-loading is still exercised)
+        sr = 24000
+        if args.vocos_ckpt:
+            try:
+                import jax.numpy as jnp
+
+                from f5tts_tpu.compat.torch_import import (
+                    convert_vocos_state_dict, load_torch_checkpoint)
+                from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig
+
+                voc = Vocos(convert_vocos_state_dict(
+                    load_torch_checkpoint(args.vocos_ckpt)), VocosConfig())
+                mel = next(iter(outs.values()))[:1]
+                voc_wav = np.asarray(voc.decode(
+                    jnp.transpose(jnp.asarray(mel), (0, 2, 1))))[0]
+            except Exception:
+                voc_wav = None
+        if voc_wav is None:
+            t = np.arange(sr, dtype=np.float32) / sr
+            voc_wav = (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        legs.extend(leg_metric_smoke(voc_wav, sr, args.workdir,
+                                     args.ecapa_ckpt, args.utmos_ckpt))
+
+        print("\n[parity] --full summary:")
+        width = max(len(name) for name, _, _ in legs)
+        for name, status, detail in legs:
+            print(f"  {name:<{width}}  {status:<5}  {detail}")
+        if any(status == "FAIL" for _, status, _ in legs):
+            sys.exit(2)
 
     # 4. golden comparison
     if args.write_golden:
