@@ -97,3 +97,30 @@ def test_zh_tokens_roundtrip_train_vs_inference(tmp_path):
 
     train_ids = Trainer.tokenize(T(), [stored])
     np.testing.assert_array_equal(train_ids, infer_ids)
+
+
+def test_prepare_csv_wavs_skips_missing_audio(tmp_path):
+    """Rows with missing/unreadable audio are skipped with a count, not
+    fatal (reference prepare_csv_wavs process_audio_file :77-90)."""
+    corpus = _make_corpus(tmp_path / "in")
+    meta = corpus / "metadata.csv"
+    meta.write_text(meta.read_text() + "\nwavs/missing.wav|ghost row\n")
+    out = tmp_path / "data" / "mini2_pinyin"
+    stats = prepare_csv(str(corpus), str(out), use_pretrained_vocab=True,
+                        workers=2)
+    assert stats["samples"] == 3
+    assert stats["skipped"] == 1
+
+
+def test_prepare_csv_wavs_own_vocab(tmp_path):
+    """--no-pretrained-vocab builds the vocab from THIS corpus (pretrain
+    workflow): small, space at idx 0, covers the corpus tokens."""
+    corpus = _make_corpus(tmp_path / "in")
+    out = tmp_path / "data" / "mini3_pinyin"
+    prepare_csv(str(corpus), str(out), use_pretrained_vocab=False, workers=2)
+    with open(out / "vocab.txt", encoding="utf-8") as f:
+        vocab = [line[:-1] for line in f]
+    assert vocab[0] == " "
+    assert len(vocab) < 40  # corpus-derived, not the 2545-token Emilia vocab
+    for ch in "sample":
+        assert ch in vocab
