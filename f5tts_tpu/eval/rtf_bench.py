@@ -86,13 +86,24 @@ def bench_sampler(
     duration = jnp.full((batch,), seq_frames, jnp.int32)
     t_grid = make_time_grid(nfe, sway_sampling_coef=-1.0)
 
+    # params ride as explicit jit ARGUMENTS, never closure constants: jax
+    # inlines closed-over arrays as stablehlo dense constants, so a closure
+    # graph serializes at ~0.9-1.5 GB (the whole weight tree embedded) and
+    # trips the remote-compile tunnel's request cap (HTTP 413) — as args the
+    # same E2TTS fused graph lowers to ~11 MB (measured, round 4)
+    jit_sample = jax.jit(lambda p, key: cfm.cfm_sample(
+        p, statics, cond, text, lens, duration, t_grid,
+        key=key, cfg_strength=2.0, dtype=dtype,
+        backend=backend, backbone=bd))
+
     def sample_only(key):
-        return cfm.cfm_sample(params, statics, cond, text, lens, duration, t_grid,
-                              key=key, cfg_strength=2.0, dtype=dtype,
-                              backend=backend, backbone=bd)
+        return jit_sample(params, key)
+
+    jit_voc = jax.jit(lambda vp, mel: Vocos(vp, VocosConfig()).decode(
+        jnp.transpose(mel, (0, 2, 1))))
 
     def voc_only(mel):
-        return voc.decode(jnp.transpose(mel, (0, 2, 1)))
+        return jit_voc(voc.params, mel)
 
     # hard sync: fetch a scalar — under the axon tunnel block_until_ready()
     # can return before remote execution finishes, and repeated identical
@@ -142,20 +153,49 @@ def bench_sampler(
         # dominated by the tunnel round-trip (~2-30 ms), not device time —
         # fused_rtf is the honest end-to-end number; the staged split is
         # kept for the DiT-vs-vocoder attribution the reference reports.
-        @jax.jit
-        def fused_fn(key):
-            wav = voc_only(sample_only(key))
-            return jnp.sum(wav.astype(jnp.float32))
+        def make_fused():
+            jit_f = jax.jit(lambda p, vp, key: jnp.sum(
+                Vocos(vp, VocosConfig()).decode(jnp.transpose(cfm.cfm_sample(
+                    p, statics, cond, text, lens, duration, t_grid,
+                    key=key, cfg_strength=2.0, dtype=dtype,
+                    backend=backend, backbone=bd), (0, 2, 1))
+                ).astype(jnp.float32)))
 
+            def fused_fn(key):
+                return jit_f(params, voc.params, key)
+
+            return fused_fn
+
+        fused_fn = make_fused()
         try:
             warm = float(fused_fn(jax.random.PRNGKey(2000)))  # compile + warmup
-        except Exception as e:  # environment limit, not a numerics failure:
-            # the E2TTS fused graph (24 unrolled blocks x NFE scan + vocoder
-            # in one jit) exceeds the dev tunnel's remote-compile request
-            # cap (HTTP 413). Report the staged numbers + the error instead
-            # of dying after minutes of compiles.
-            out["fused_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-            return out
+        except Exception as e:
+            # environment limit, not a numerics failure: the E2TTS fused
+            # graph at FULL unroll (24 blocks x NFE scan + vocoder in one
+            # jit, one Mosaic payload per unrolled megakernel instance) can
+            # exceed the dev tunnel's remote-compile request cap (HTTP 413).
+            # Retry with ROLLED half-scans: 1 payload set per scan instead
+            # of 12, at a measured ~4.5% step cost (scripts/unett_fwd_ab) —
+            # far cheaper than losing the single-dispatch serving shape.
+            if mcfg.backbone != "UNetT":
+                out["fused_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+                return out
+            import os
+
+            prev = os.environ.get("F5TTS_UNETT_UNROLL")
+            os.environ["F5TTS_UNETT_UNROLL"] = "1"
+            try:
+                fused_fn = make_fused()  # fresh jit cache -> retrace
+                warm = float(fused_fn(jax.random.PRNGKey(2000)))
+                out["fused_unroll"] = 1
+            except Exception as e2:
+                out["fused_error"] = f"{type(e2).__name__}: {str(e2)[:200]}"
+                return out
+            finally:
+                if prev is None:
+                    os.environ.pop("F5TTS_UNETT_UNROLL", None)
+                else:
+                    os.environ["F5TTS_UNETT_UNROLL"] = prev
         assert np.isfinite(warm)  # catch a NaN-producing compile variant here
         fused_times = []
         for i in range(runs):

@@ -19,10 +19,20 @@ Conventions:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+
+def _fused_rms_enabled() -> bool:
+    """Fused Pallas RMSNorm dispatch (UNetT pre-norms), opt-in via
+    F5TTS_FUSED_RMS=1. Measured on-chip (scripts/unett_fwd_ab, E2TTS_Base
+    b=2cfg n=1023 bf16): 13.63 ms/fwd fused vs 13.45 unfused at full unroll
+    (the XLA rms passes already fuse well; per-pallas-call overhead eats the
+    HBM saving), 14.03 vs 14.11 rolled — kept for the rolled/fallback path,
+    default OFF. Read at trace time so rtf_bench can flip it per-graph."""
+    return os.environ.get("F5TTS_FUSED_RMS", "0") == "1"
 
 from f5tts_tpu.ops.attention import (
     SINGLE_PASS_MAX_N,
@@ -93,11 +103,16 @@ def init_rms_norm(dim: int) -> Params:
 
 
 def rms_norm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
-    # NOTE: a fused Pallas RMSNorm exists (ops.adaln_norm.rms_norm_fused) but
-    # is NOT dispatched here: UNetT would embed 48 extra serialized Mosaic
-    # payloads into the NFE-scan body, which blew the remote-compile
-    # tunnel's request-size limit (HTTP 413) for a ~2% step win. Re-enable on
-    # directly-attached chips if the XLA rms passes ever matter.
+    # The fused Pallas RMSNorm (ops.adaln_norm.rms_norm_fused) dispatches on
+    # TPU for [b, n, d%128==0] activations when F5TTS_FUSED_RMS=1 (see
+    # _fused_rms_enabled for the measured tradeoff). UNetT's scans roll when
+    # the kernel is on (unett._scan_unroll) so the compile request doesn't
+    # carry 48 per-instance Mosaic payloads (HTTP 413 history).
+    if (_fused_rms_enabled() and x.ndim == 3 and x.shape[-1] % 128 == 0
+            and jax.default_backend() == "tpu"):
+        from f5tts_tpu.ops.adaln_norm import rms_norm_fused
+
+        return rms_norm_fused(x, p["w"], eps)
     xf = x.astype(jnp.float32)
     var = (xf * xf).mean(axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps)

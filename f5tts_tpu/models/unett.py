@@ -74,6 +74,30 @@ class UNetTStatics:
         self.rope_angles = rope_freqs_interleaved(arch.dim_head, TEXT_PRECOMPUTE_MAX_POS)
 
 
+def _scan_unroll(arch: ModelArch, backend: str) -> int:
+    """Unroll factor for the two half-scans.
+
+    Fully unrolled scans avoid the per-iteration weight copy out of the
+    stacked arrays (see models/dit.py) but embed `unroll` copies of every
+    Pallas payload in the compile request — with the fused RMSNorm kernel
+    dispatched that is 4 payloads/block x 12 blocks/scan, which blew the
+    remote-compile tunnel's request cap (HTTP 413). Override with
+    F5TTS_UNETT_UNROLL=<k|auto>."""
+    import os
+
+    half = arch.depth // 2
+    if arch.checkpoint_activations:
+        return 1
+    env = os.environ.get("F5TTS_UNETT_UNROLL", "auto")
+    if env != "auto":
+        return max(1, min(int(env), half))
+    from f5tts_tpu.models.modules import _fused_rms_enabled
+
+    if _fused_rms_enabled() and backend == "pallas" and jax.default_backend() == "tpu":
+        return 1
+    return half
+
+
 def _block(blk, x, heads, rope, lengths, pe_attn_head, backend, skip=None,
            skip_type="concat", rope_tabs=None):
     if skip is not None:
@@ -169,10 +193,8 @@ def unett_forward(
                      arch.pe_attn_head, backend, rope_tabs=rope_tabs)
         return out, carry  # push pre-block state as the skip (reference pushes x)
 
-    # unrolled scans: rolled iteration copies each layer's weights out of the
-    # stacked arrays every step (see models/dit.py)
     half = arch.depth // 2
-    unroll = 1 if arch.checkpoint_activations else half
+    unroll = _scan_unroll(arch, backend)
     h, skips = jax.lax.scan(first_body, h, params["first_half"], unroll=unroll)
 
     # reverse the skip stack: last pushed is popped first

@@ -1022,9 +1022,11 @@ def fused_qkv_rope_attention_bias(qkv, cos, sin, kmask, heads: int):
     """Flat fused QKV+RoPE attention with an arbitrary [b, n] key mask.
 
     Pallas on TPU (n % 128 == 0, n <= SINGLE_PASS_MAX_N, d in {64, 128});
-    XLA decomposition elsewhere. Backward runs the XLA decomposition's VJP
-    (the forward is the MMDiT sampler hot path; training numerics equal the
-    XLA path exactly — same recipe as masked_flash_attention)."""
+    XLA decomposition elsewhere. Backward is the flat Pallas dQKV kernel
+    (_fused_bias_bwd_kernel — the DiT _fused_qkv_bwd_kernel recipe with the
+    [1, n] additive key bias), falling back to the XLA decomposition's VJP
+    off-TPU or for shapes past FUSED_BIAS_BWD_MAX_N, so MMDiT trains at
+    flash memory instead of materializing O(n^2) joint scores."""
     b, n, hd3 = qkv.shape
     hd = hd3 // 3
     d = hd // heads
@@ -1034,6 +1036,120 @@ def fused_qkv_rope_attention_bias(qkv, cos, sin, kmask, heads: int):
     return _bias_decomposed_ref(qkv, cos, sin, kmask, heads)
 
 
+def _fused_bias_bwd_kernel(qkv_ref, do_ref, cos_ref, sin_ref, bias_ref,
+                           dqkv_ref, *, heads: int, sm_scale: float):
+    """Flat dQKV for the bias-masked megakernel: the `_fused_qkv_bwd_kernel`
+    recipe (in-kernel rope/un-rope, in-kernel softmax recompute, paired-head
+    zero-padded dots) with the arbitrary [1, n] additive key bias replacing
+    the prefix-length mask. Dead-KEY columns carry p = 0, so their dk/dv
+    contributions vanish; dead-QUERY rows receive an exactly-zero cotangent
+    (mmdit._joint_attention masks the projected outputs), so no query-side
+    masking is needed — same invariant as the prefix-length kernel."""
+    hp = pl.program_id(1)
+    n, hd3 = qkv_ref.shape[1], qkv_ref.shape[2]
+    hd = hd3 // 3
+    d = hd // heads
+    pair = max(d, 128)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, pair), 1)
+
+    def rope(xf, cs, sn):
+        rot = jnp.where(lane_p % 2 == 0,
+                        -pltpu.roll(xf, pair - 1, 1),
+                        pltpu.roll(xf, 1, 1))
+        return xf * cs + rot * sn
+
+    lanes_q = pl.ds(hp * pair, pair)
+    lanes_k = pl.ds(hd + hp * pair, pair)
+    lanes_v = pl.ds(2 * hd + hp * pair, pair)
+    cs = cos_ref[:, pl.ds(hp * pair, pair)].astype(jnp.float32)
+    sn = sin_ref[:, pl.ds(hp * pair, pair)].astype(jnp.float32)
+
+    dt = qkv_ref.dtype
+    qrot = rope(qkv_ref[0, :, lanes_q].astype(jnp.float32), cs, sn).astype(dt)
+    krot = rope(qkv_ref[0, :, lanes_k].astype(jnp.float32), cs, sn).astype(dt)
+    vp = qkv_ref[0, :, lanes_v]
+    do_p = do_ref[0, :, pl.ds(hp * pair, pair)]
+
+    bias = bias_ref[0, 0:1, :]  # [1, n] f32
+
+    halves = ([(qrot, do_p)] if pair == d else [
+        (jnp.where(lane_p < d, qrot, 0).astype(dt),
+         jnp.where(lane_p < d, do_p, 0).astype(dt)),
+        (jnp.where(lane_p >= d, qrot, 0).astype(dt),
+         jnp.where(lane_p >= d, do_p, 0).astype(dt)),
+    ])
+
+    dq_acc = None
+    dk_acc = None
+    dv_acc = None
+    for qh, doh in halves:
+        s = jax.lax.dot_general(qh, krot, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale + bias
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(l == 0.0, 1.0, l)
+        dp = jax.lax.dot_general(doh, vp, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(dt)
+        p_lo = p.astype(dt)
+        dvh = jax.lax.dot_general(p_lo, doh, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dkh = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dqh = jax.lax.dot_general(ds, krot, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dv_acc = dvh if dv_acc is None else dv_acc + dvh
+        dk_acc = dkh if dk_acc is None else dk_acc + dkh
+        dq_acc = dqh if dq_acc is None else jnp.where(lane_p < d, dq_acc, dqh)
+
+    dq = rope(dq_acc * sm_scale, cs, -sn)   # inverse rotation: -sin
+    dk = rope(dk_acc * sm_scale, cs, -sn)
+    dqkv_ref[0, :, lanes_q] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[0, :, lanes_k] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[0, :, lanes_v] = dv_acc.astype(dqkv_ref.dtype)
+
+
+# joint audio+text sequences run slightly past the DiT cap (1024 + padded
+# text); scores/dp f32 temporaries at n=1536 stay within the raised budget
+FUSED_BIAS_BWD_MAX_N = 1536
+
+
+def _fused_bias_bwd_pallas(qkv, cos, sin, kmask, do, heads: int):
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    pair = max(d, 128)
+    sm_scale = 1.0 / math.sqrt(d)
+    bias = jnp.where(kmask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    return pl.pallas_call(
+        functools.partial(_fused_bias_bwd_kernel, heads=heads,
+                          sm_scale=sm_scale),
+        grid=(b, hd // pair),
+        in_specs=[
+            pl.BlockSpec((1, n, hd3), lambda bi, hp: (bi, 0, 0)),
+            pl.BlockSpec((1, n, hd), lambda bi, hp: (bi, 0, 0)),
+            pl.BlockSpec((n, hd), lambda bi, hp: (0, 0)),
+            pl.BlockSpec((n, hd), lambda bi, hp: (0, 0)),
+            pl.BlockSpec((1, 1, n), lambda bi, hp: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, hd3), lambda bi, hp: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * n * hd * (pair // d),
+            bytes_accessed=2 * (4 * b * n * hd + 2 * n * hd) * qkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qkv, do, cos, sin, bias)
+
+
 def _fused_bias_fwd(qkv, cos, sin, kmask, heads):
     return fused_qkv_rope_attention_bias(qkv, cos, sin, kmask, heads), \
         (qkv, cos, sin, kmask)
@@ -1041,6 +1157,13 @@ def _fused_bias_fwd(qkv, cos, sin, kmask, heads):
 
 def _fused_bias_bwd(heads, res, g):
     qkv, cos, sin, kmask = res
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    if ((jax.default_backend() == "tpu" or FORCE_FLAT_BWD) and n % 128 == 0
+            and n <= FUSED_BIAS_BWD_MAX_N and d in (64, 128) and hd % 128 == 0):
+        dqkv = _fused_bias_bwd_pallas(qkv, cos, sin, kmask, g, heads)
+        return dqkv, None, None, None
     _, vjp = jax.vjp(
         lambda x: _bias_decomposed_ref(x, cos, sin, kmask, heads), qkv)
     (dqkv,) = vjp(g)
