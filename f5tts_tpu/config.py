@@ -247,6 +247,15 @@ PRESETS: dict[str, ModelConfig] = {
         dim=768, depth=20, heads=12, ff_mult=4, text_dim=None,
         text_mask_padding=False, conv_layers=0,
     ),
+    # Experimental SD3-style backbone: no published checkpoint or YAML in the
+    # reference; dims follow its class defaults (src/f5_tts/model/backbones/
+    # mmdit.py MMDiT.__init__ defaults + the DiT-Base sizing convention).
+    # Used by benchmarks and the train/infer plumbing for backbone parity.
+    "MMDiT_Base": _preset(
+        "MMDiT_Base", "MMDiT",
+        dim=1024, depth=22, heads=16, ff_mult=2, text_dim=None,
+        text_mask_padding=True, conv_layers=0,
+    ),
 }
 
 

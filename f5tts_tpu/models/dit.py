@@ -257,6 +257,13 @@ def dit_apply(
         rp = getattr(arch, "remat_policy", "nothing")
         if rp == "dots":
             policy = jax.checkpoint_policies.checkpoint_dots
+        elif rp == "attn_out":
+            # save ONLY the attention outputs: the backward replay skips the
+            # fwd megakernel (~29 ms/step at b=16 — the flat bwd kernel
+            # recomputes its own softmax, so the fwd replay buys nothing)
+            # for 32 MB/block of saved bf16; qkv stays rematerialized
+            # (saving it too adds 2.1 GB pressure — measured slower)
+            policy = jax.checkpoint_policies.save_only_these_names("attn_out")
         elif rp == "attn":
             # save the QKV projection + attention outputs (tagged in
             # modules.self_attention): the backward replay skips the qkv
@@ -276,8 +283,14 @@ def dit_apply(
     # rolled scan copies each layer's weights out of the stacked arrays every
     # iteration (~15% of INFERENCE step time in device traces). Under remat
     # training the rolled scan measures the same as full unroll (287 vs 293
-    # ms/step at b=8 n=1024) with 4x faster compiles, so keep it rolled.
-    unroll = 1 if (checkpoint_blocks or arch.checkpoint_activations) else arch.depth
+    # ms/step at b=8 n=1024) with 4x faster compiles, so it defaults rolled;
+    # F5TTS_TRAIN_UNROLL overrides for unroll experiments (read at trace).
+    if checkpoint_blocks or arch.checkpoint_activations:
+        import os as _os
+
+        unroll = int(_os.environ.get("F5TTS_TRAIN_UNROLL", "1"))
+    else:
+        unroll = arch.depth
     x, _ = jax.lax.scan(body, x, (params["blocks"], block_mods), unroll=unroll)
     if arch.long_skip_connection:
         x = m.linear(params["long_skip"], jnp.concatenate([x, residual], axis=-1))

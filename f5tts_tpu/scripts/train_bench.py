@@ -26,10 +26,22 @@ def main(argv=None):
     ap.add_argument("--donate", action="store_true",
                     help="donate the state (rejected by the dev-tunnel backend)")
     ap.add_argument("--preset", default="F5TTS_v1_Base")
+    ap.add_argument("--dim", type=int, default=None,
+                    help="override arch dim (e.g. MMDiT_Base at dim 768 is "
+                         "~DiT-Base params; the 645M full size needs buffer "
+                         "donation, which the dev tunnel rejects)")
+    ap.add_argument("--heads", type=int, default=None)
     ap.add_argument("--remat-policy", default="nothing",
-                    choices=["nothing", "dots", "attn"])
+                    choices=["nothing", "dots", "attn", "attn_out"])
     ap.add_argument("--no-remat", action="store_true",
                     help="disable activation checkpointing (fits at b<=8)")
+    ap.add_argument("--ema-skip", action="store_true",
+                    help="dispatch the no-EMA step variant on the 9/10 steps "
+                         "where the EMA update is a provable no-op")
+    ap.add_argument("--inner-scan", type=int, default=0,
+                    help="run K train steps inside ONE jit (lax.scan over "
+                         "the carried state): amortizes the dev tunnel's "
+                         "per-dispatch round trip, measuring device ms/step")
     args = ap.parse_args(argv)
 
     import jax
@@ -42,9 +54,14 @@ def main(argv=None):
                                       make_optimizer, make_train_step)
 
     preset = PRESETS[args.preset]
+    over = {}
+    if args.dim:
+        over["dim"] = args.dim
+    if args.heads:
+        over["heads"] = args.heads
     arch = dataclasses.replace(preset.arch, text_num_embeds=2545,
                                checkpoint_activations=not args.no_remat,
-                               remat_policy=args.remat_policy)
+                               remat_policy=args.remat_policy, **over)
     bdef = cfm.BACKBONES[preset.backbone]
     params = bdef.init(jax.random.PRNGKey(0), arch)
     statics = bdef.statics_cls(arch)
@@ -53,16 +70,53 @@ def main(argv=None):
     tx = make_optimizer(learning_rate=7.5e-5, warmup_updates=1000,
                         total_updates=10000)
     state = init_train_state(params, tx)
-    step_fn = jax.jit(make_train_step(
+    raw_step = make_train_step(
         statics, tx, backend=args.backend, backbone=bdef,
-        fuse_qkv=not args.no_fuse_qkv, hp=hp),
-        donate_argnums=(0,) if args.donate else ())
+        fuse_qkv=not args.no_fuse_qkv, hp=hp)
+    step_fn = jax.jit(raw_step, donate_argnums=(0,) if args.donate else ())
+    noema_fn = (jax.jit(raw_step.noema,
+                        donate_argnums=(0,) if args.donate else ())
+                if args.ema_skip else None)
 
     b, n = args.batch, args.frames
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((b, n, arch.mel_dim)) * 0.3, jnp.float32)
     text = jnp.asarray(rng.integers(1, 2545, (b, 256)), jnp.int32)
     lens = jnp.asarray(rng.integers(n // 2, n + 1, (b,)), jnp.int32)
+
+    if args.inner_scan:
+        K = args.inner_scan
+
+        def multi(state, key, mel, text, lens):
+            def body(st, i):
+                st2, mm = raw_step(st, jax.random.fold_in(key, i),
+                                   mel * (1.0 + 0.001 * i.astype(jnp.float32)),
+                                   text, lens)
+                return st2, mm["loss"]
+
+            st, losses = jax.lax.scan(body, state, jnp.arange(K))
+            return st, losses
+
+        jit_multi = jax.jit(multi)
+        t0 = time.time()
+        state2, losses = jit_multi(state, jax.random.PRNGKey(0), mel, text, lens)
+        l0 = float(losses[0])
+        print(f"compile+first dispatch ({K} steps): {time.time()-t0:.1f}s "
+              f"loss0={l0:.4f}")
+        runs = []
+        for r in range(3):
+            t0 = time.time()
+            state2, losses = jit_multi(state, jax.random.PRNGKey(10 + r),
+                                       mel * (1.0 + 0.05 * r), text, lens)
+            total = float(jnp.sum(losses))
+            runs.append((time.time() - t0) / K)
+            assert np.isfinite(total)
+        dt = min(runs)
+        frames_per_s = b * n / dt
+        print(f"batch={b} frames={n} inner_scan={K}")
+        print(f"{dt * 1e3:.1f} ms/step  {frames_per_s / 1e3:.1f}k frames/s/chip  "
+              f"(~{frames_per_s * 256 / 24000:.0f} audio-s/s)")
+        return
 
     t0 = time.time()
     state, m = step_fn(state, jax.random.PRNGKey(0), mel, text, lens)
@@ -73,11 +127,18 @@ def main(argv=None):
     state, m = step_fn(state, jax.random.PRNGKey(1), mel * 1.01, text, lens)
     float(m["loss"])
 
+    if noema_fn is not None:  # compile + warm the no-EMA variant too
+        state, m = noema_fn(state, jax.random.PRNGKey(900), mel * 1.02, text, lens)
+        float(m["loss"])
+
     t0 = time.time()
     losses = []
     for i in range(2, args.steps + 2):
-        state, m = step_fn(state, jax.random.PRNGKey(i),
-                           mel * (1.0 + 0.01 * i), text, lens)
+        # ema_pytorch cadence: EMA touches the tree on 1 step in
+        # ema_update_every (10) — the bench alternates 9:1 like production
+        fn = noema_fn if (noema_fn is not None and i % 10 != 0) else step_fn
+        state, m = fn(state, jax.random.PRNGKey(i),
+                      mel * (1.0 + 0.01 * i), text, lens)
         losses.append(m["loss"])
     total = sum(float(v) for v in losses)  # scalar fetch forces completion
     dt = (time.time() - t0) / args.steps

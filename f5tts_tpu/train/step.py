@@ -156,7 +156,7 @@ def make_train_step(
                          jnp.where(past_warmup, ema_decay, 0.0),
                          1.0).astype(jnp.float32)
 
-    def fused_apply(state: TrainState, loss, grads):
+    def fused_apply(state: TrainState, loss, grads, skip_ema: bool = False):
         """Clip + AdamW + EMA as ONE elementwise pass per leaf.
 
         The optax chain walks the 336M-param tree several times (clip scale,
@@ -184,6 +184,12 @@ def make_train_step(
             nu2 = hp.b2 * nu + (1.0 - hp.b2) * g * g
             upd = (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + hp.eps) + hp.weight_decay * p
             p2 = p - lr * upd
+            if skip_ema:
+                # steps the EMA provably skips (step % update_every != 0 ->
+                # alpha == 1): pass the tree through UNTOUCHED — jit forwards
+                # identity outputs by buffer, dropping the 2.7 GB/step
+                # read+write of e*1 + p*0
+                return p2, mu2, nu2, e
             e2 = e * alpha.astype(e.dtype) + p2.astype(e.dtype) * (1.0 - alpha).astype(e.dtype)
             return p2, mu2, nu2, e2
 
@@ -223,6 +229,19 @@ def make_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params, key, mel, text, lens)
         return apply_impl(state, loss, grads)
 
+    def train_step_noema(state: TrainState, key, mel, text, lens):
+        """Variant for steps where the EMA update is a provable no-op
+        (state.step % ema_update_every != ema_update_every - 1, i.e. the
+        POST-increment step is not a multiple of update_every): identical
+        numerics, ema tree forwarded by buffer. Jit this separately and
+        dispatch host-side on the step counter (a tree-wide lax.cond blows
+        remote compile past 10 min — BENCH_HISTORY r3). Fused path only."""
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, key, mel, text, lens)
+        if hp is None:
+            return optax_apply(state, loss, grads)
+        return fused_apply(state, loss, grads, skip_ema=True)
+
     train_step.grad_step = grad_step
     train_step.apply_step = apply_step
+    train_step.noema = train_step_noema
     return train_step

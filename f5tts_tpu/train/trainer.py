@@ -90,6 +90,15 @@ class Trainer:
         # at dispatch (InvalidArgument); enable on directly-attached chips.
         donate = (0,) if os.environ.get("F5TTS_DONATE_STATE") else ()
         self._step_fn = jax.jit(step_impl, donate_argnums=donate)
+        # EMA-skip dispatch (fused path): on the 9/10 steps where the EMA
+        # update is alpha==1 (ema_pytorch update_every cadence), run a
+        # variant that forwards the EMA tree by buffer — drops a 2.7 GB/step
+        # read+write sweep (~1.5% step time at b=24; BENCH_HISTORY r4).
+        # Host-side dispatch on the step counter; a tree-wide lax.cond blows
+        # remote compile past 10 min.
+        self._noema_fn = (jax.jit(step_impl.noema, donate_argnums=donate)
+                          if hp is not None else None)
+        self._ema_every = train_cfg.ema_update_every
         # gradient accumulation path (reference trainer.py:63-68,364)
         self._grad_fn = jax.jit(step_impl.grad_step)
         self._apply_fn = jax.jit(step_impl.apply_step, donate_argnums=donate)
@@ -286,7 +295,14 @@ class Trainer:
 
                 key, sub = jax.random.split(key)
                 if self._accum == 1:
-                    self.state, metrics = self._step_fn(self.state, sub, mel, text_ids, lens)
+                    # host-side `update` mirrors state.step, so the
+                    # post-increment counter decides whether EMA fires
+                    # without fetching the device scalar
+                    fn = (self._noema_fn
+                          if (self._noema_fn is not None
+                              and (update + 1) % self._ema_every != 0)
+                          else self._step_fn)
+                    self.state, metrics = fn(self.state, sub, mel, text_ids, lens)
                 else:
                     loss, grads = self._grad_fn(self.state.params, sub, mel, text_ids, lens)
                     accum_grads = (grads if accum_grads is None

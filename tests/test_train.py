@@ -278,3 +278,42 @@ def test_trainer_log_samples(tmp_path):
     sample_dir = tmp_path / "ck" / "samples"
     files = os.listdir(sample_dir)
     assert any("gen" in f for f in files) and any("ref" in f for f in files)
+
+
+def test_noema_step_variant_identical():
+    """The no-EMA step variant (dispatched on the 9/10 steps where alpha==1)
+    must be numerically IDENTICAL to the full fused step, and must forward
+    the EMA tree unchanged (BENCH_HISTORY r4 EMA-skip dispatch)."""
+    from f5tts_tpu.train.step import OptHParams
+
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    hp = OptHParams(learning_rate=1e-3, warmup_updates=5, total_updates=50)
+    tx = make_optimizer(1e-3, warmup_updates=5, total_updates=50)
+    kw = dict(dtype=jnp.float32, backend="xla", hp=hp,
+              ema_update_every=3, ema_update_after_step=0)
+    step = make_train_step(statics, tx, **kw)
+    step_jit = jax.jit(step)
+    noema_jit = jax.jit(step.noema)
+
+    mel, text, lens = _synthetic_batch()
+    s_ref = init_train_state(params, tx)
+    s_alt = init_train_state(params, tx)
+    for i in range(6):
+        k = jax.random.PRNGKey(i)
+        s_ref, m_ref = step_jit(s_ref, k, mel, text, lens)
+        nxt = i + 1
+        if nxt % 3 != 0:  # EMA provably skipped (alpha == 1)
+            prev_ema = s_alt.ema_params
+            s_alt, m_alt = noema_jit(s_alt, k, mel, text, lens)
+            # tree forwarded untouched
+            for a, b in zip(jax.tree.leaves(prev_ema),
+                            jax.tree.leaves(s_alt.ema_params)):
+                assert a is b or np.array_equal(np.asarray(a), np.asarray(b))
+        else:
+            s_alt, m_alt = step_jit(s_alt, k, mel, text, lens)
+        np.testing.assert_allclose(float(m_ref["loss"]), float(m_alt["loss"]),
+                                   rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_ref), jax.tree.leaves(s_alt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
