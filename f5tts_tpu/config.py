@@ -61,9 +61,13 @@ class ModelArch:
     long_skip_connection: bool = False
     checkpoint_activations: bool = False
     # remat policy when checkpoint_activations is on: "nothing" rematerializes
-    # everything (min memory); "dots" saves matmul outputs and recomputes only
-    # the cheap elementwise chain (jax.checkpoint_policies.checkpoint_dots)
-    remat_policy: str = "nothing"  # "nothing" | "dots" | "attn" (save qkv+attn outputs)
+    # everything (min memory); "attn_out" saves ONLY the attention outputs —
+    # the flat Pallas backward recomputes its own softmax, so skipping the
+    # fwd-megakernel replay is free memory-wise and the fastest measured
+    # v5e config at per-chip batch <=28 (BENCH_HISTORY r4: 285 vs 302
+    # ms/step at b=16); "dots" saves matmul outputs; "attn" saves
+    # qkv+attn_out (measured slower — 2.1 GB extra pressure)
+    remat_policy: str = "nothing"  # "nothing" | "attn_out" | "dots" | "attn"
     # UNetT only:
     skip_connect_type: str = "concat"  # "add" | "concat" | "none"
     # MMDiT only:
