@@ -363,7 +363,14 @@ class InferencePipeline:
         cfg_v = s.cfg_strength if cfg_strength is None else cfg_strength
         sway = s.sway_sampling_coef if sway_sampling_coef == "default" else sway_sampling_coef
 
-        b = len(requests)
+        # batch-size bucketing: every distinct batch size is its own XLA
+        # executable (a 5-min remote compile mid-serve). Pad the request
+        # list to the next power of two by duplicating the last request —
+        # warmup only needs to cover {1, 2, 4, ...}; padded rows are
+        # dropped in finalize_batch.
+        n_real = len(requests)
+        b = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+        requests = list(requests) + [requests[-1]] * (b - n_real)
         ref_lens, totals, texts = [], [], []
         up_scale = np.ones((b,), np.float32)
         down_scale = np.ones((b,), np.float32)
@@ -418,10 +425,12 @@ class InferencePipeline:
             jnp.asarray(text_ids),
             jnp.asarray(np.minimum(totals, n_bucket), jnp.int32), t_grid,
             jnp.float32(cfg_v), jax.random.PRNGKey(seed), n_bucket=n_bucket)
-        return handle, (ref_lens, totals, n_bucket, shape_is_cold)
+        return handle, (ref_lens[:n_real], totals[:n_real], n_bucket,
+                        shape_is_cold)
 
     def finalize_batch(self, pending) -> list[np.ndarray]:
-        """Fetch + slice the result of a generate_batch_async dispatch."""
+        """Fetch + slice the result of a generate_batch_async dispatch.
+        Rows past the meta length are batch-size-bucket padding (dropped)."""
         handle, meta = pending
         ref_lens, totals, n_bucket = meta[:3]
         waves_all = np.asarray(handle)

@@ -253,7 +253,7 @@ def warmup(pipeline: InferencePipeline, buckets: list[int] | None = None,
     import time
 
     buckets = buckets or [256, 512, 1024]
-    batch_sizes = batch_sizes or [1, 4]
+    batch_sizes = batch_sizes or [1, 2, 4]
     sr = pipeline.sr
     # cold-start insurance: compiled buckets persist across server restarts
     from f5tts_tpu.utils import enable_compilation_cache
@@ -418,7 +418,11 @@ def main(argv=None):
 
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file)
     if args.warmup_buckets:
-        warmup(tts.pipeline, args.warmup_buckets, [1, args.max_batch_size])
+        # the pipeline pads batches to powers of two, so warming {1, 2, 4,
+        # ... max_batch} covers EVERY batch size the server can form
+        sizes = [1 << i for i in range(args.max_batch_size.bit_length())
+                 if (1 << i) <= args.max_batch_size]
+        warmup(tts.pipeline, args.warmup_buckets, sizes)
     batcher = DynamicBatcher(tts.pipeline, args.max_batch_size,
                              args.max_queue_delay_ms / 1000.0)
     server = ThreadingHTTPServer((args.host, args.port),

@@ -213,3 +213,22 @@ def test_batcher_stats_and_http_stats_endpoint():
             server.shutdown()
     finally:
         batcher.close()
+
+
+def test_batch_size_bucketing_pads_to_power_of_two():
+    """Odd batch sizes pad to the next power of two by duplicating the last
+    request (every distinct batch size is its own multi-minute remote
+    compile): 3 requests -> one b=4 executable, 3 results, stats record the
+    PADDED size."""
+    pipe = _pipeline()
+    waves = pipe.generate_batch([_req(0), _req(1), _req(2, "some other text")],
+                                nfe_step=2)
+    assert len(waves) == 3
+    assert all(len(w) > 0 and np.isfinite(w).all() for w in waves)
+    # the executable shape is the padded batch
+    assert any(k[0] == 4 for k in pipe.seen_serve_shapes)
+    assert not any(k[0] == 3 for k in pipe.seen_serve_shapes)
+    # a fresh 4-request batch reuses the same executable (not cold)
+    pending = pipe.generate_batch_async([_req(i) for i in range(4)], nfe_step=2)
+    assert pending[1][3] is False or pending[1][3] == False  # noqa: E712
+    assert len(pipe.finalize_batch(pending)) == 4
