@@ -83,6 +83,12 @@ def test_grpc_server_roundtrip(tmp_path):
                                timeout=120)
         assert wav_bytes[:4] == b"RIFF"
         assert len(wav_bytes) > 10000
+        # server-side stats over gRPC (the write_triton_stats scrape analogue)
+        from f5tts_tpu.infer.grpc_server import fetch_stats
+
+        st = fetch_stats(f"127.0.0.1:{port}", timeout=30)
+        assert st["success_count"] == 1 and st["error_count"] == 0
+        assert st["exec_avg_ms"] is not None
     finally:
         server.stop(0)
         batcher.close()

@@ -91,3 +91,44 @@ def test_clip_ref_audio_under_12s():
     clipped = audio_io.clip_ref_audio(wav, sr)
     assert len(clipped) <= sr * 12 + sr  # 12 s + keep_silence margin
     assert len(clipped) > sr  # kept something
+
+
+def test_pipeline_mmdit_backbone_end_to_end():
+    """InferencePipeline drives the MMDiT backbone (MMDiT_Base preset wiring:
+    cfm.BACKBONES['MMDiT']) through chunked infer AND the batched serving
+    path — backbone parity at the pipeline level, not just the forward."""
+    import dataclasses
+
+    from f5tts_tpu.config import MelConfig, ModelArch, SamplingConfig
+    from f5tts_tpu.infer.pipeline import InferencePipeline
+    from f5tts_tpu.models import cfm, mmdit
+    from f5tts_tpu.text.vocab import load_vocab
+    from f5tts_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos
+
+    arch = ModelArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                     mel_dim=100, text_num_embeds=2545,
+                     text_mask_padding=True)
+    params = mmdit.init_mmdit(jax.random.PRNGKey(0), arch)
+    voc_cfg = VocosConfig(input_channels=100, dim=32, intermediate_dim=64,
+                          num_layers=1)
+    voc = Vocos(init_vocos(jax.random.PRNGKey(1), voc_cfg), voc_cfg)
+    pipe = InferencePipeline(
+        params=params, statics=mmdit.MMDiTStatics(arch), vocoder=voc.decode,
+        vocab_char_map=load_vocab("f5tts_tpu/data/vocab_emilia_pinyin.txt"),
+        mel_cfg=MelConfig(),
+        sampling=dataclasses.replace(SamplingConfig(), nfe_steps=2,
+                                     max_duration=512),
+        tokenizer="pinyin", dtype=jnp.float32, backend="xla",
+        bucket_size=128, backbone=cfm.BACKBONES["MMDiT"])
+
+    rng = np.random.default_rng(0)
+    ref = (rng.standard_normal(12000) * 0.05).astype(np.float32)
+    wave, sr, mel = pipe.infer(ref, 24000, "a ref. ", "hello there")
+    assert sr == 24000 and len(wave) > 0 and np.isfinite(wave).all()
+    assert mel.shape[0] == 100
+
+    waves = pipe.generate_batch(
+        [{"ref_wav": ref, "ref_text": "a ref. ", "gen_text": "hi"},
+         {"ref_wav": ref, "ref_text": "a ref. ", "gen_text": "hello world"}],
+        nfe_step=2)
+    assert len(waves) == 2 and all(np.isfinite(w).all() for w in waves)
