@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--data_root", default=None)
     p.add_argument("--mesh_data", type=int, default=None, help="DP axis size")
     p.add_argument("--mesh_model", type=int, default=1, help="TP axis size")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard AdamW moments + EMA over the data axis "
+                        "(ZeRO-1; fits full-size MMDiT_Base training)")
     p.add_argument("overrides", nargs="*", help="key.path=value overrides")
     args = p.parse_args(argv)
 
@@ -83,6 +86,7 @@ def main(argv=None):
         vocab_char_map=vocab_char_map, tokenizer=tokenizer, mesh=mesh,
         dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
         backend="pallas",  # O(n) flash attention fwd+bwd on TPU (XLA fallback off-TPU)
+        zero1=args.zero1,
     )
     metrics = trainer.train(dataset, resumable_with_seed=666,
                             max_updates=args.max_updates)

@@ -55,6 +55,7 @@ class Trainer:
         log_dir: str = "runs",
         sample_fn: Optional[Callable] = None,
         vocoder: Optional[Callable] = None,  # mel [b,d,t] -> wav; enables log_samples
+        zero1: bool = False,  # ZeRO-1: shard AdamW moments + EMA over "data"
     ):
         self.cfg = train_cfg
         self.backbone = backbone
@@ -89,19 +90,39 @@ class Trainer:
         # default because the dev-tunnel TPU backend rejects donated buffers
         # at dispatch (InvalidArgument); enable on directly-attached chips.
         donate = (0,) if os.environ.get("F5TTS_DONATE_STATE") else ()
-        self._step_fn = jax.jit(step_impl, donate_argnums=donate)
+        # ZeRO-1 (opt-in, mesh required): AdamW mu/nu + the EMA tree shard
+        # over "data" (parallel/mesh.py:zero1_param_specs) — the reference
+        # replicates all of it per rank (DDP). Cuts the f32 state from
+        # 4x params to (1 + 3/dp)x per device: MMDiT_Base's 10.3 GB state
+        # becomes ~3.6 GB at dp=8, which is what makes full-size 645M
+        # training fit. out_shardings pin the layout so every step consumes
+        # exactly the layout the previous one produced (no re-gather drift).
+        self._state_sh = None
+        if zero1 and mesh is not None:
+            from f5tts_tpu.parallel.mesh import (replicated,
+                                                 shard_train_state,
+                                                 train_state_shardings)
+
+            self.state = shard_train_state(self.state, mesh, zero1=True)
+            rep = replicated(mesh)
+            self._state_sh = train_state_shardings(self.state, mesh, zero1=True)
+            self._metric_sh = {"loss": rep, "grad_norm": rep}
+        _jkw = dict(donate_argnums=donate)
+        if self._state_sh is not None:
+            _jkw["out_shardings"] = (self._state_sh, self._metric_sh)
+        self._step_fn = jax.jit(step_impl, **_jkw)
         # EMA-skip dispatch (fused path): on the 9/10 steps where the EMA
         # update is alpha==1 (ema_pytorch update_every cadence), run a
         # variant that forwards the EMA tree by buffer — drops a 2.7 GB/step
         # read+write sweep (~1.5% step time at b=24; BENCH_HISTORY r4).
         # Host-side dispatch on the step counter; a tree-wide lax.cond blows
         # remote compile past 10 min.
-        self._noema_fn = (jax.jit(step_impl.noema, donate_argnums=donate)
+        self._noema_fn = (jax.jit(step_impl.noema, **_jkw)
                           if hp is not None else None)
         self._ema_every = train_cfg.ema_update_every
         # gradient accumulation path (reference trainer.py:63-68,364)
         self._grad_fn = jax.jit(step_impl.grad_step)
-        self._apply_fn = jax.jit(step_impl.apply_step, donate_argnums=donate)
+        self._apply_fn = jax.jit(step_impl.apply_step, **_jkw)
         self._accum = max(train_cfg.grad_accumulation_steps, 1)
         # ONE dispatch per micro-batch: an un-jitted tree.map(jnp.add) issues
         # a remote dispatch per param leaf (~2-3 ms each over the tunnel;
@@ -220,6 +241,9 @@ class Trainer:
     def maybe_resume(self) -> int:
         restored = self.ckpt.restore(self.state)
         if restored is not None:
+            if self._state_sh is not None:
+                # re-establish the ZeRO-1 layout on the restored trees
+                restored = jax.tree.map(jax.device_put, restored, self._state_sh)
             self.state = restored
             return int(restored.step)
         return 0
