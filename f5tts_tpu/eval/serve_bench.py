@@ -115,6 +115,10 @@ def main(argv=None):
     ap.add_argument("--window_ms", type=float, nargs="+", default=[1.0],
                     help="dynamic-batching windows to sweep; best-p50 row "
                          "becomes the headline JSON")
+    ap.add_argument("--fine_stream", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="warm + use the half-granularity first-chunk "
+                         "bucket in the TTFB sweep")
     ap.add_argument("--stream", type=int, default=0,
                     help="also measure TTFB over N /tts_stream requests "
                          "(low-TTFB descending-budget path)")
@@ -223,6 +227,27 @@ def main(argv=None):
             warm = dict(payloads[0])
             warm.pop("fix_duration", None)
             send_request_stream(f"http://127.0.0.1:{port}", warm)
+            if args.fine_stream:
+                # compile the half-granularity FIRST-chunk bucket the
+                # handler requests via fine_bucket (identical ref/text
+                # shape to the sweep payloads), so the timed TTFBs ride it
+                import base64
+                import io
+
+                from f5tts_tpu.infer import audio_io
+                from f5tts_tpu.infer.pipeline import chunk_text_low_ttfb
+
+                wav, in_sr = audio_io.read_wav(
+                    io.BytesIO(base64.b64decode(payloads[0]["ref_audio_b64"])))
+                first = chunk_text_low_ttfb(payloads[0]["gen_text"])[0]
+                t0 = time.time()
+                pipe.generate_batch(
+                    [{"ref_wav": audio_io.resample(wav, in_sr, sr),
+                      "ref_text": payloads[0]["ref_text"],
+                      "gen_text": first, "speed": None}],
+                    bucket_size=max(pipe.bucket_size // 2, 128))
+                print(f"warmed fine first-chunk bucket "
+                      f"({time.time()-t0:.0f}s)", file=sys.stderr)
             for p in payloads[:n]:
                 p = dict(p)
                 p.pop("fix_duration", None)  # budgets pick their own durations

@@ -2,9 +2,11 @@
 
 Counterpart of the reference's Triton gRPC path
 (runtime/triton_trtllm/client_grpc.py + config.pbtxt): a `f5tts.TTS/Synthesize`
-unary-unary method over the same DynamicBatcher as the HTTP server. Messages
-are JSON request bytes -> WAV response bytes, registered with a generic
-handler so no protoc stubs are required.
+unary-unary method over the same DynamicBatcher as the HTTP server, plus
+`SynthesizeStream` (unary-stream, the reference client's `--mode streaming`
+analogue: low-TTFB PCM chunks) and `Stats` (server-side queue/compute
+counters). Messages are JSON request bytes -> WAV/PCM response bytes,
+registered with a generic handler so no protoc stubs are required.
 
 Server: python -m f5tts_tpu.infer.grpc_server --port 8001
 Client: f5tts_tpu.infer.grpc_server.synthesize(...) or any gRPC client
@@ -26,6 +28,7 @@ from f5tts_tpu.infer.serve import DynamicBatcher, _wav_bytes
 
 SERVICE = "f5tts.TTS"
 METHOD = "Synthesize"
+STREAM_METHOD = "SynthesizeStream"
 STATS_METHOD = "Stats"
 
 
@@ -43,6 +46,33 @@ def _make_service(batcher: DynamicBatcher, sr: int):
         })
         return _wav_bytes(wave, sr)
 
+    def synthesize_stream(request_bytes: bytes, context):
+        """Server-streaming synthesis: yields raw s16le PCM chunks with the
+        HTTP /tts_stream low-TTFB policy (small, growing first-chunk text
+        budgets; first chunk on the fine half-granularity bucket when warm)
+        — the gRPC counterpart of the reference's streaming Triton client
+        (client_grpc.py, --mode streaming)."""
+        from f5tts_tpu.infer.pipeline import chunk_text_low_ttfb
+
+        body = json.loads(request_bytes)
+        wav, in_sr = audio_io.read_wav(body["ref_path"])
+        wav = audio_io.resample(wav, in_sr, sr)
+        ref_text = body.get("ref_text", "")
+        if not ref_text.endswith((". ", "。")):
+            ref_text = ref_text + ". " if not ref_text.endswith(".") \
+                else ref_text + " "
+        for ci, text_chunk in enumerate(chunk_text_low_ttfb(body["gen_text"])):
+            wave = batcher.submit({
+                "ref_wav": wav,
+                "ref_text": ref_text,
+                "gen_text": text_chunk,
+                "speed": body.get("speed"),
+                "fine_bucket": ci == 0,
+            })
+            pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+            if pcm:
+                yield pcm
+
     def stats(request_bytes: bytes, context) -> bytes:
         # server-side queue/compute counters, the analogue of the Triton
         # model stats the reference's client_grpc.py:425-447 scrapes
@@ -53,8 +83,13 @@ def _make_service(batcher: DynamicBatcher, sr: int):
             fn, request_deserializer=lambda b: b,
             response_serializer=lambda b: b)
 
+    stream_h = grpc.unary_stream_rpc_method_handler(
+        synthesize_stream, request_deserializer=lambda b: b,
+        response_serializer=lambda b: b)
+
     return grpc.method_handlers_generic_handler(
-        SERVICE, {METHOD: h(synthesize), STATS_METHOD: h(stats)})
+        SERVICE, {METHOD: h(synthesize), STREAM_METHOD: stream_h,
+                  STATS_METHOD: h(stats)})
 
 
 def serve(batcher: DynamicBatcher, sr: int, host: str = "0.0.0.0",
@@ -78,6 +113,22 @@ def synthesize(target: str, ref_path: str, ref_text: str, gen_text: str,
             response_deserializer=lambda b: b,
         )
         return fn(payload, timeout=timeout)
+
+
+def synthesize_stream(target: str, ref_path: str, ref_text: str,
+                      gen_text: str, timeout: float = 300.0, **kw):
+    """Client helper: yields s16le PCM chunks as the server synthesizes them
+    (low-TTFB: the first small chunk arrives long before the full utterance).
+    """
+    payload = json.dumps({"ref_path": ref_path, "ref_text": ref_text,
+                          "gen_text": gen_text, **kw}).encode()
+    with grpc.insecure_channel(target) as channel:
+        fn = channel.unary_stream(
+            f"/{SERVICE}/{STREAM_METHOD}",
+            request_serializer=lambda b: b,
+            response_deserializer=lambda b: b,
+        )
+        yield from fn(payload, timeout=timeout)
 
 
 def fetch_stats(target: str, timeout: float = 10.0) -> dict:

@@ -143,6 +143,7 @@ class InferencePipeline:
     bucket_size: int = 256
     quantization: str = "none"         # "none" | "int8" (W8A8 DiT projections)
     backbone: object = None            # cfm.BackboneDef; None -> DiT
+    fine_autowarm: bool = False        # background-compile cold fine buckets
 
     def __post_init__(self):
         if self.backbone is None:
@@ -218,6 +219,7 @@ class InferencePipeline:
         # executable; a key first seen mid-serve means a remote compile
         # landed inside a request (BatcherStats surfaces these)
         self.seen_serve_shapes: set = set()
+        self._fine_warms_inflight: set = set()
 
     # -- host-side text prep ------------------------------------------------
 
@@ -337,10 +339,12 @@ class InferencePipeline:
         nfe_step: Optional[int] = None,
         cfg_strength: Optional[float] = None,
         sway_sampling_coef="default",
+        bucket_size: Optional[int] = None,
     ) -> list[np.ndarray]:
         """Batched multi-request generation: dispatch + blocking fetch."""
         return self.finalize_batch(self.generate_batch_async(
-            requests, seed, nfe_step, cfg_strength, sway_sampling_coef))
+            requests, seed, nfe_step, cfg_strength, sway_sampling_coef,
+            bucket_size=bucket_size))
 
     def generate_batch_async(
         self,
@@ -349,6 +353,7 @@ class InferencePipeline:
         nfe_step: Optional[int] = None,
         cfg_strength: Optional[float] = None,
         sway_sampling_coef="default",
+        bucket_size: Optional[int] = None,  # override (warmup fine sweep)
     ):
         """Batched multi-request generation (the serving hot path).
 
@@ -410,11 +415,46 @@ class InferencePipeline:
         totals = np.asarray(cfm.compute_duration(
             jnp.asarray(text_lens), jnp.asarray(ref_lens),
             jnp.asarray(totals), s.max_duration))
-        n_bucket = duration_bucket(int(totals.max()), self.bucket_size,
+        bs = bucket_size or self.bucket_size
+        n_bucket = duration_bucket(int(totals.max()), bs,
                                    s.max_duration, self.backbone.seq_extra_tokens)
+        text_width = int(np.asarray(text_ids).shape[1])
 
-        shape_key = (b, wav_bucket, int(np.asarray(text_ids).shape[1]),
-                     int(n_bucket))
+        # low-TTFB fine bucket: a stream's FIRST chunk ("fine_bucket" on
+        # every request in the batch) may ride a half-granularity bucket —
+        # up to bucket_size/2 fewer padded sampler rows (~15% less compute
+        # at a 768-frame first chunk). Engages ONLY if that exact shape is
+        # already warm: a cold fine bucket would put a minutes-long remote
+        # compile inside a live stream, the one thing serving must not do.
+        # With fine_autowarm, a cold miss warms the fine shape in a
+        # background thread (one redundant generation; the persistent
+        # compile cache makes restarts instant), so later first chunks with
+        # the same ref/text shape get the fine TTFB.
+        if (bucket_size is None
+                and all(r.get("fine_bucket") for r in requests[:n_real])):
+            n_fine = duration_bucket(int(totals.max()), max(bs // 2, 128),
+                                     s.max_duration,
+                                     self.backbone.seq_extra_tokens)
+            fine_key = (b, wav_bucket, text_width, int(n_fine))
+            if n_fine < n_bucket:
+                if fine_key in self.seen_serve_shapes:
+                    n_bucket = n_fine
+                elif (self.fine_autowarm
+                      and fine_key not in self._fine_warms_inflight):
+                    self._fine_warms_inflight.add(fine_key)
+                    warm_reqs = [dict(r) for r in requests[:n_real]]
+
+                    def _warm(reqs=warm_reqs, fbs=max(bs // 2, 128)):
+                        try:
+                            self.generate_batch(reqs, bucket_size=fbs)
+                        except Exception:
+                            self._fine_warms_inflight.discard(fine_key)
+
+                    import threading as _th
+
+                    _th.Thread(target=_warm, daemon=True).start()
+
+        shape_key = (b, wav_bucket, text_width, int(n_bucket))
         shape_is_cold = shape_key not in self.seen_serve_shapes
         self.seen_serve_shapes.add(shape_key)
 

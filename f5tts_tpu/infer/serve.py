@@ -378,13 +378,18 @@ def make_handler(batcher: DynamicBatcher, sr: int,
 
             try:
                 # each text chunk rides the batched serving path (warmed
-                # buckets, i16 wire format, shared device queue with /tts)
-                for text_chunk in chunks:
+                # buckets, i16 wire format, shared device queue with /tts).
+                # The FIRST chunk asks for the half-granularity duration
+                # bucket (pipeline.generate_batch_async fine_bucket): up to
+                # bucket_size/2 fewer padded sampler rows off the TTFB,
+                # engaged only once that shape is warm.
+                for ci, text_chunk in enumerate(chunks):
                     wave = batcher.submit({
                         "ref_wav": wav,
                         "ref_text": ref_text,
                         "gen_text": text_chunk,
                         "speed": body.get("speed"),
+                        "fine_bucket": ci == 0,
                     })
                     pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
                     if pcm:
@@ -412,11 +417,17 @@ def main(argv=None):
     p.add_argument("--max_queue_delay_ms", type=float, default=1.0)
     p.add_argument("--warmup_buckets", type=int, nargs="*", default=[512, 1024],
                    help="compile these duration buckets at startup")
+    p.add_argument("--fine_stream", action="store_true",
+                   help="auto-warm half-granularity first-chunk buckets for "
+                        "/tts_stream in the background (lower TTFB after the "
+                        "first stream of a given ref/text shape)")
     args = p.parse_args(argv)
 
     from f5tts_tpu.infer.api import F5TTS
 
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file)
+    if args.fine_stream:
+        tts.pipeline.fine_autowarm = True
     if args.warmup_buckets:
         # the pipeline pads batches to powers of two, so warming {1, 2, 4,
         # ... max_batch} covers EVERY batch size the server can form

@@ -145,3 +145,80 @@ def test_chunk_text_low_ttfb_budgets():
     joined = " ".join(chunks).split()
     ref = " ".join(chunk_text(text, 135)).split()
     assert joined == ref
+
+
+def test_http_stream_first_chunk_requests_fine_bucket(tmp_path):
+    """The /tts_stream handler marks only the FIRST text chunk fine_bucket."""
+    from f5tts_tpu.infer.client_http import send_request_stream
+
+    pipe = _pipeline()
+    seen_flags = []
+    orig = pipe.generate_batch_async
+
+    def spy(reqs, **kw):
+        seen_flags.extend(bool(r.get("fine_bucket")) for r in reqs)
+        return orig(reqs, **kw)
+
+    pipe.generate_batch_async = spy
+    rng = np.random.default_rng(1)
+    ref = str(tmp_path / "ref.wav")
+    audio_io.write_wav(ref, (rng.standard_normal(12000) * 0.05).astype(np.float32), 24000)
+
+    batcher = DynamicBatcher(pipe, max_batch_size=1)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(batcher, 24000, pipeline=pipe))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        send_request_stream(
+            f"http://127.0.0.1:{port}",
+            {"ref_path": ref, "ref_text": "ref.",
+             "gen_text": "Hello there. This is a second, rather longer "
+                         "sentence to force another chunk."})
+    finally:
+        server.shutdown()
+        batcher.close()
+    assert len(seen_flags) >= 2
+    assert seen_flags[0] is True and not any(seen_flags[1:])
+
+
+def test_grpc_stream_roundtrip(tmp_path):
+    """SynthesizeStream: multiple PCM chunks, first marked fine_bucket."""
+    import grpc  # noqa: F401  (skip if missing)
+
+    from f5tts_tpu.infer.grpc_server import serve, synthesize_stream
+
+    pipe = _pipeline()
+    seen_flags = []
+    orig = pipe.generate_batch_async
+
+    def spy(reqs, **kw):
+        seen_flags.extend(bool(r.get("fine_bucket")) for r in reqs)
+        return orig(reqs, **kw)
+
+    pipe.generate_batch_async = spy
+    rng = np.random.default_rng(0)
+    ref = str(tmp_path / "ref.wav")
+    audio_io.write_wav(ref, (rng.standard_normal(12000) * 0.05).astype(np.float32), 24000)
+
+    batcher = DynamicBatcher(pipe, max_batch_size=1)
+    import socket as _socket
+
+    s = _socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    server = serve(batcher, 24000, "127.0.0.1", port)
+    try:
+        chunks = list(synthesize_stream(
+            f"127.0.0.1:{port}", ref, "ref.",
+            "Hello there. This is a second, rather longer sentence "
+            "to force another chunk.", timeout=180))
+        assert len(chunks) >= 2
+        assert all(len(c) % 2 == 0 and len(c) > 0 for c in chunks)
+        pcm = np.frombuffer(b"".join(chunks), "<i2")
+        assert np.isfinite(pcm.astype(np.float32)).all() and len(pcm) > 2000
+    finally:
+        server.stop(0)
+        batcher.close()
+    assert seen_flags[0] is True and not any(seen_flags[1:])

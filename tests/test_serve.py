@@ -232,3 +232,68 @@ def test_batch_size_bucketing_pads_to_power_of_two():
     pending = pipe.generate_batch_async([_req(i) for i in range(4)], nfe_step=2)
     assert pending[1][3] is False or pending[1][3] == False  # noqa: E712
     assert len(pipe.finalize_batch(pending)) == 4
+
+
+def _pipeline256():
+    """bucket_size=256 variant: the fine first-chunk bucket (half
+    granularity, 128) only differs from the coarse one above 128."""
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    statics = dit.DiTStatics(ARCH)
+    voc_cfg = VocosConfig(input_channels=100, dim=32, intermediate_dim=64, num_layers=1)
+    vocoder = Vocos(init_vocos(jax.random.PRNGKey(1), voc_cfg), voc_cfg)
+    return InferencePipeline(
+        params=params, statics=statics, vocoder=vocoder.decode,
+        vocab_char_map=load_vocab("f5tts_tpu/data/vocab_emilia_pinyin.txt"),
+        mel_cfg=MelConfig(),
+        sampling=dataclasses.replace(SamplingConfig(), nfe_steps=2, max_duration=512),
+        tokenizer="pinyin", dtype=jnp.float32, backend="xla", bucket_size=256,
+    )
+
+
+def test_fine_bucket_gated_on_warm_shape():
+    """fine_bucket requests ride the half-granularity bucket ONLY after that
+    exact shape has been compiled (cold fine shapes must not trigger a
+    mid-stream compile)."""
+    pipe = _pipeline256()
+    req = dict(_req(0), fix_duration=300 * 256 / 24000, fine_bucket=True)
+
+    h, meta = pipe.generate_batch_async([req])
+    assert meta[2] == 512, "cold fine shape must fall back to the coarse bucket"
+    assert all(np.isfinite(w).all() for w in pipe.finalize_batch((h, meta)))
+
+    # warm the fine shape explicitly (what serve_bench / warmup does)
+    pipe.generate_batch([dict(req, fine_bucket=False)], bucket_size=128)
+
+    h2, meta2 = pipe.generate_batch_async([req])
+    assert meta2[2] == 384, "warm fine shape should engage"
+    assert all(np.isfinite(w).all() for w in pipe.finalize_batch((h2, meta2)))
+
+    # explicit bucket_size override bypasses the fine logic entirely
+    h3, meta3 = pipe.generate_batch_async([req], bucket_size=256)
+    assert meta3[2] == 512
+    pipe.finalize_batch((h3, meta3))
+
+
+def test_fine_bucket_autowarm_background():
+    """fine_autowarm: a cold fine miss compiles the fine shape in the
+    background; later identical requests engage it."""
+    import time as _t
+
+    pipe = _pipeline256()
+    pipe.fine_autowarm = True
+    req = dict(_req(0), fix_duration=300 * 256 / 24000, fine_bucket=True)
+
+    h, meta = pipe.generate_batch_async([req])
+    assert meta[2] == 512  # first hit is coarse; warm kicked off in background
+    pipe.finalize_batch((h, meta))
+
+    deadline = _t.time() + 120
+    got = None
+    while _t.time() < deadline:
+        h2, meta2 = pipe.generate_batch_async([req])
+        pipe.finalize_batch((h2, meta2))
+        got = meta2[2]
+        if got == 384:
+            break
+        _t.sleep(0.5)
+    assert got == 384, f"autowarm never engaged (last bucket {got})"
