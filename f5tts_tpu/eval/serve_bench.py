@@ -128,6 +128,11 @@ def main(argv=None):
                          "scale (its 253 ms avg-latency row)")
     args = ap.parse_args(argv)
 
+    # compiled buckets persist across bench/server restarts (same cache
+    # bench.py and serve.warmup use) — repeat runs deserialize in seconds
+    from f5tts_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     pipe = build_pipeline(args.nfe, args.quantization)
     sr = pipe.sr
 

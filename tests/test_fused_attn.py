@@ -199,3 +199,44 @@ def test_bias_flat_backward_matches_decomposed_grads(heads, d, monkeypatch):
     g_ref = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("n", [384, 640])
+def test_fused_kernel_tail_padded_block(n):
+    """Odd 128-multiples run bq=256 with a TAIL-PADDED final q block (the
+    fine serving buckets / E2TTS 128k widths): live-row outputs must match
+    the decomposed oracle and stay finite."""
+    heads, d, b = 8, 64, 2
+    hd = heads * d
+    qkv = jax.random.normal(jax.random.PRNGKey(2), (b, n, 3 * hd), jnp.float32)
+    angles = rope_freqs_interleaved(d, n)
+    cos, sin = rope_flat_tables(angles, n, heads, dtype=jnp.float32)
+    # one full row, one ending INSIDE the padded tail block
+    lengths = jnp.array([n, n - 77], jnp.int32)
+    out = np.asarray(fused_qkv_rope_attention(qkv, cos, sin, lengths, heads))
+    ref = np.asarray(_oracle(qkv, angles, heads, lengths))
+    np.testing.assert_allclose(out[0], ref[0], atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(out[1, :n - 77], ref[1, :n - 77],
+                               atol=2e-5, rtol=2e-5)
+    assert np.isfinite(out).all()
+
+
+def test_bias_megakernel_tail_padded_block(monkeypatch):
+    """Bias megakernel at an odd 128-multiple (MMDiT joint 1152-style):
+    tail-padded bq=256 blocks, mid-sequence dead keys."""
+    from f5tts_tpu.ops import attention as att
+
+    monkeypatch.setattr(att, "FORCE_BIAS_KERNEL", True)
+    heads, d, b, n = 8, 64, 2, 384
+    hd = heads * d
+    qkv = jax.random.normal(jax.random.PRNGKey(9), (b, n, 3 * hd), jnp.float32)
+    angles = rope_freqs_interleaved(d, n)
+    cos, sin = rope_flat_tables(angles, n, heads, dtype=jnp.float32)
+    kmask = np.ones((b, n), bool)
+    kmask[0, 100:180] = False
+    kmask[1, 300:] = False
+    kmask = jnp.asarray(kmask)
+    out = att.fused_qkv_rope_attention_bias(qkv, cos, sin, kmask, heads)
+    ref = att._bias_decomposed_ref(qkv, cos, sin, kmask, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
