@@ -246,12 +246,18 @@ def main(argv=None):
                     io.BytesIO(base64.b64decode(payloads[0]["ref_audio_b64"])))
                 first = chunk_text_low_ttfb(payloads[0]["gen_text"])[0]
                 t0 = time.time()
-                pipe.generate_batch(
-                    [{"ref_wav": audio_io.resample(wav, in_sr, sr),
-                      "ref_text": payloads[0]["ref_text"],
-                      "gen_text": first, "speed": None}],
-                    bucket_size=max(pipe.bucket_size // 2, 128))
-                print(f"warmed fine first-chunk bucket "
+                req = {"ref_wav": audio_io.resample(wav, in_sr, sr),
+                       "ref_text": payloads[0]["ref_text"],
+                       "gen_text": first, "speed": None}
+                # the fine shape key includes batch size: the sweep sends
+                # streams sequentially (b=1), but if run concurrently the
+                # batcher can merge two first chunks into b=2 — warm both so
+                # neither silently falls back to the coarse bucket
+                for wb in (1, 2):
+                    pipe.generate_batch(
+                        [dict(req) for _ in range(wb)],
+                        bucket_size=max(pipe.bucket_size // 2, 128))
+                print(f"warmed fine first-chunk bucket at b=1,2 "
                       f"({time.time()-t0:.0f}s)", file=sys.stderr)
             for p in payloads[:n]:
                 p = dict(p)

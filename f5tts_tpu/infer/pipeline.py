@@ -220,6 +220,13 @@ class InferencePipeline:
         # landed inside a request (BatcherStats surfaces these)
         self.seen_serve_shapes: set = set()
         self._fine_warms_inflight: set = set()
+        # shapes whose dispatch AND finalize have completed at least once —
+        # i.e. the executable is genuinely warm. seen_serve_shapes marks
+        # dispatch time (before a minutes-long remote compile resolves), so
+        # the low-TTFB fine gate must key on THIS set, not that one: gating
+        # on dispatch-time shapes let a live stream ride a still-compiling
+        # fine executable and stall mid-stream.
+        self._finalized_serve_shapes: set = set()
 
     # -- host-side text prep ------------------------------------------------
 
@@ -437,7 +444,7 @@ class InferencePipeline:
                                      self.backbone.seq_extra_tokens)
             fine_key = (b, wav_bucket, text_width, int(n_fine))
             if n_fine < n_bucket:
-                if fine_key in self.seen_serve_shapes:
+                if fine_key in self._finalized_serve_shapes:
                     n_bucket = n_fine
                 elif (self.fine_autowarm
                       and fine_key not in self._fine_warms_inflight):
@@ -445,9 +452,16 @@ class InferencePipeline:
                     warm_reqs = [dict(r) for r in requests[:n_real]]
 
                     def _warm(reqs=warm_reqs, fbs=max(bs // 2, 128)):
+                        # generate_batch = dispatch + finalize: on success the
+                        # fine shape lands in _finalized_serve_shapes (via
+                        # finalize_batch), which is what opens the gate above.
+                        # The inflight marker is cleared in finally so a failed
+                        # warm (dispatch OR finalize) can be retried.
                         try:
                             self.generate_batch(reqs, bucket_size=fbs)
                         except Exception:
+                            pass
+                        finally:
                             self._fine_warms_inflight.discard(fine_key)
 
                     import threading as _th
@@ -466,7 +480,7 @@ class InferencePipeline:
             jnp.asarray(np.minimum(totals, n_bucket), jnp.int32), t_grid,
             jnp.float32(cfg_v), jax.random.PRNGKey(seed), n_bucket=n_bucket)
         return handle, (ref_lens[:n_real], totals[:n_real], n_bucket,
-                        shape_is_cold)
+                        shape_is_cold, shape_key)
 
     def finalize_batch(self, pending) -> list[np.ndarray]:
         """Fetch + slice the result of a generate_batch_async dispatch.
@@ -474,6 +488,8 @@ class InferencePipeline:
         handle, meta = pending
         ref_lens, totals, n_bucket = meta[:3]
         waves_all = np.asarray(handle)
+        if len(meta) > 4:  # executable proven warm end-to-end (fine-bucket gate)
+            self._finalized_serve_shapes.add(meta[4])
         results = []
         for i in range(len(ref_lens)):
             lo = ref_lens[i] * self.hop

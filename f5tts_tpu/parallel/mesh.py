@@ -169,20 +169,33 @@ def train_state_shardings(state, mesh: Mesh, zero1: bool = True):
     def named(spec_tree):
         return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree)
 
-    # opt_state carries non-param leaves (schedule/clip counters): map by
-    # shape against the param tree, replicate anything unmatched.
-    shape_to_spec = {}
-    for a, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(state_specs)):
-        shape_to_spec.setdefault(tuple(a.shape), s)
+    # opt_state: map STRUCTURALLY, not by leaf shape. mu/nu (and any other
+    # param-mirror subtree) share the params treedef, so substitute the full
+    # state_specs tree wherever a subtree matches it; everything else
+    # (schedule/clip counters, EmptyState) stays replicated. Shape-keyed
+    # mapping collided same-shape leaves with different TP specs (square
+    # to_q col vs to_out row kernels; [depth,dim] col kernels vs biases),
+    # leaving the losers' moments on a layout mismatched to their grads.
+    params_td = jax.tree.structure(state.params)
 
-    def opt_spec(a):
-        return shape_to_spec.get(tuple(np.shape(a)), P())
+    def opt_specs(node):
+        if node is None:
+            return None
+        if jax.tree.structure(node) == params_td:
+            return state_specs
+        if isinstance(node, dict):
+            return {k: opt_specs(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            mapped = [opt_specs(c) for c in node]
+            if hasattr(node, "_fields"):  # NamedTuple (optax states)
+                return type(node)(*mapped)
+            return type(node)(mapped) if isinstance(node, list) else tuple(mapped)
+        return P()
 
     return type(state)(
         step=NamedSharding(mesh, P()),
         params=named(param_specs),
-        opt_state=jax.tree.map(
-            lambda a: NamedSharding(mesh, opt_spec(a)), state.opt_state),
+        opt_state=named(opt_specs(state.opt_state)),
         ema_params=named(state_specs),
     )
 

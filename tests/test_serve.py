@@ -274,6 +274,28 @@ def test_fine_bucket_gated_on_warm_shape():
     pipe.finalize_batch((h3, meta3))
 
 
+def test_fine_gate_requires_finalize_not_dispatch():
+    """ADVICE r4: the fine gate keys on finalize-complete shapes, not
+    dispatch-time seen shapes — a dispatched-but-unfinalized fine warm is
+    still (remotely) compiling and must not capture a live stream."""
+    pipe = _pipeline256()
+    req = dict(_req(0), fix_duration=300 * 256 / 24000, fine_bucket=True)
+
+    # dispatch the fine shape but do NOT finalize yet
+    h, meta = pipe.generate_batch_async(
+        [dict(req, fine_bucket=False)], bucket_size=128)
+    assert meta[4] in pipe.seen_serve_shapes  # dispatch-time tracker has it
+
+    h2, meta2 = pipe.generate_batch_async([req])
+    assert meta2[2] == 512, "unfinalized fine shape must not open the gate"
+
+    pipe.finalize_batch((h, meta))  # warm completes
+    h3, meta3 = pipe.generate_batch_async([req])
+    assert meta3[2] == 384, "finalized fine shape should engage"
+    pipe.finalize_batch((h2, meta2))
+    pipe.finalize_batch((h3, meta3))
+
+
 def test_fine_bucket_autowarm_background():
     """fine_autowarm: a cold fine miss compiles the fine shape in the
     background; later identical requests engage it."""

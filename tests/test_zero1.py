@@ -79,6 +79,33 @@ def _batch(b=4, n=64, nt=12, seed=0):
     return mel, text, lens
 
 
+def test_zero1_moment_specs_structural_no_shape_collision(mesh):
+    """ADVICE r4: opt-state moments are mapped STRUCTURALLY, so same-shape
+    leaves with different TP specs (square to_q col vs to_out row kernels;
+    [depth,dim] col kernels vs plain biases) keep their own layouts instead
+    of first-spec-wins by shape."""
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    tx = make_optimizer(1e-4, 10, 100)
+    state = init_train_state(params, tx)
+    sh = train_state_shardings(state, mesh, zero1=True)
+    specs = zero1_param_specs(params, mesh)
+    adam_sh = sh.opt_state[1][0]
+    for name in ("to_q", "to_out"):
+        for mom in (adam_sh.mu, adam_sh.nu):
+            got = mom["blocks"]["attn"][name]["w"].spec
+            want = specs["blocks"]["attn"][name]["w"]
+            assert got == want, (name, got, want)
+    # the two square kernels have the SAME shape but different specs
+    assert (adam_sh.mu["blocks"]["attn"]["to_q"]["w"].spec
+            != adam_sh.mu["blocks"]["attn"]["to_out"]["w"].spec)
+    # bias moments keep their data shard even where a same-shape col-sharded
+    # kernel exists elsewhere in the tree
+    assert (adam_sh.mu["blocks"]["ff"]["out"]["b"].spec
+            == specs["blocks"]["ff"]["out"]["b"])
+    # non-param leaves (counters) stay replicated
+    assert adam_sh.count.spec == P()
+
+
 def test_zero1_step_matches_replicated(mesh):
     """Two fused train steps under ZeRO-1 sharding == unsharded numerics."""
     params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
