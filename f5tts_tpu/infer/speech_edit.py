@@ -10,7 +10,10 @@ Rebuild of reference src/f5_tts/infer/speech_edit.py:140-236. Workflow:
    target text
 
 Char-level span timings come from an external forced aligner in the
-reference (ctc-forced-aligner); here they are caller-provided seconds.
+reference (ctc-forced-aligner, speech_edit.py:66-72); here either
+caller-provided seconds (`edit_speech`) or the in-framework CTC forced
+aligner (`edit_speech_by_text` -> infer/align.py: unit-tested CTC
+segmentation DP + weights-gated wav2vec2 leg).
 """
 
 from __future__ import annotations
@@ -108,6 +111,38 @@ def edit_speech(
     if 0 < rms_v < s.target_rms:
         wave = wave * (rms_v / s.target_rms)
     return wave.astype(np.float32), pipeline.sr
+
+
+def edit_speech_by_text(
+    pipeline: InferencePipeline,
+    wav: np.ndarray,
+    sr: int,
+    original_text: str,
+    target_text: str,
+    edits: Sequence,
+    fix_durations: Optional[Sequence[float]] = None,
+    char_spans=None,
+    **kwargs,
+) -> tuple[np.ndarray, int]:
+    """Speech editing from TEXT spans instead of caller-provided seconds.
+
+    `edits` entries are substrings of `original_text` (resolved left to
+    right) or (char_start, char_end) index pairs; the CTC forced aligner
+    (infer/align.py — the in-framework equivalent of the reference's
+    documented ctc-forced-aligner workflow, reference
+    src/f5_tts/infer/speech_edit.py:66-72) maps them to audio seconds, then
+    the span-based `edit_speech` runs as before. `char_spans` injects a
+    precomputed alignment (tests; cached alignments); otherwise the
+    weights-gated `align_text` runs and raises a clear RuntimeError when
+    the acoustic model is unavailable.
+    """
+    from f5tts_tpu.infer.align import align_text, spans_for_edits
+
+    if char_spans is None:
+        char_spans = align_text(wav, sr, original_text)
+    parts = spans_for_edits(char_spans, edits, text=original_text)
+    return edit_speech(pipeline, wav, sr, target_text, parts,
+                       fix_durations=fix_durations, **kwargs)
 
 
 def main(argv=None):

@@ -254,27 +254,11 @@ def dit_apply(
         return h, None
 
     if checkpoint_blocks or arch.checkpoint_activations:
-        rp = getattr(arch, "remat_policy", "nothing")
-        if rp == "dots":
-            policy = jax.checkpoint_policies.checkpoint_dots
-        elif rp == "attn_out":
-            # save ONLY the attention outputs: the backward replay skips the
-            # fwd megakernel (~29 ms/step at b=16 — the flat bwd kernel
-            # recomputes its own softmax, so the fwd replay buys nothing)
-            # for 32 MB/block of saved bf16; qkv stays rematerialized
-            # (saving it too adds 2.1 GB pressure — measured slower)
-            policy = jax.checkpoint_policies.save_only_these_names("attn_out")
-        elif rp == "attn":
-            # save the QKV projection + attention outputs (tagged in
-            # modules.self_attention): the backward replay skips the qkv
-            # matmul, the rope, and the attention kernel — ~5/14 of the
-            # block's forward FLOPs — for 128 MB/block of saved bf16 at
-            # b=16 n=1024
-            policy = jax.checkpoint_policies.save_only_these_names(
-                "qkv", "attn_out")
-        else:
-            policy = None
-        body = jax.checkpoint(body, policy=policy)
+        # policy notes (measured, DiT-Base b=16-24 n=1024): "attn_out" saves
+        # 32 MB/block of bf16 and skips the fwd megakernel replay (~29
+        # ms/step; the flat bwd kernel recomputes its own softmax); saving
+        # qkv too ("attn") adds 2.1 GB pressure — measured slower
+        body = jax.checkpoint(body, policy=m.remat_policy_for(arch))
 
     x = x_embedded
     if arch.long_skip_connection:

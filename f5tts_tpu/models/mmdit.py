@@ -413,7 +413,7 @@ def mmdit_forward(
         return (xx, cc), None
 
     if arch.checkpoint_activations:
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(body, policy=m.remat_policy_for(arch))
     unroll = 1 if arch.checkpoint_activations else arch.depth - 1
     (h, c), _ = jax.lax.scan(
         body, (h, c),

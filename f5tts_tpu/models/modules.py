@@ -35,7 +35,7 @@ def _fused_rms_enabled() -> bool:
     return os.environ.get("F5TTS_FUSED_RMS", "0") == "1"
 
 from f5tts_tpu.ops.attention import (
-    SINGLE_PASS_MAX_N,
+    FLAT_ATTN_MAX_N,
     attention as attention_op,
     fused_qkv_rope_attention,
 )
@@ -410,7 +410,7 @@ def self_attention(
         if (rope_tabs is not None and "q_norm" not in p
                 and backend == "pallas" and jax.default_backend() == "tpu"
                 and inner % 128 == 0 and dh_ in (64, 128)
-                and n % 128 == 0 and n <= SINGLE_PASS_MAX_N):
+                and n % 128 == 0 and n <= FLAT_ATTN_MAX_N):
             # megakernel: RoPE + attention on the flat layout, no head-split
             # transposes, no QKV lane split, output flat for to_out
             o = fused_qkv_rope_attention(qkv, rope_tabs[0], rope_tabs[1],
@@ -566,6 +566,29 @@ def fuse_backbone_qkv(params: Params, dtype=None) -> Params:
 
 def tree_cast(params: Any, dtype) -> Any:
     return jax.tree.map(lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+
+def remat_policy_for(arch):
+    """jax.checkpoint policy for arch.remat_policy, shared by all three
+    backbones (checkpoint_name tags live in self_attention):
+
+    - "nothing" (default): full remat — recompute everything on backward.
+      Measured fastest for DiT at b<=24 (BENCH_HISTORY r3).
+    - "attn_out": save ONLY attention outputs — backward replay skips the
+      fwd attention kernel (the flat bwd kernel recomputes its own softmax,
+      so the fwd replay buys nothing). DiT's b=24 winner (60.2k frames/s).
+    - "attn": save qkv + attention outputs (skips the qkv matmul + rope too,
+      at 4x the saved bytes).
+    - "dots": XLA's checkpoint_dots.
+    """
+    rp = getattr(arch, "remat_policy", "nothing")
+    if rp == "dots":
+        return jax.checkpoint_policies.checkpoint_dots
+    if rp == "attn_out":
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if rp == "attn":
+        return jax.checkpoint_policies.save_only_these_names("qkv", "attn_out")
+    return None
 
 
 def count_params(params: Any) -> int:

@@ -193,13 +193,6 @@ def unett_forward(
                      arch.pe_attn_head, backend, rope_tabs=rope_tabs)
         return out, carry  # push pre-block state as the skip (reference pushes x)
 
-    half = arch.depth // 2
-    unroll = _scan_unroll(arch, backend)
-    h, skips = jax.lax.scan(first_body, h, params["first_half"], unroll=unroll)
-
-    # reverse the skip stack: last pushed is popped first
-    skips = jnp.flip(skips, axis=0)
-
     def second_body(carry, inputs):
         blk, skip = inputs
         out = _block(blk, carry, arch.heads, rope, lengths_tok,
@@ -207,6 +200,20 @@ def unett_forward(
                      skip=skip, skip_type=arch.skip_connect_type,
                      rope_tabs=rope_tabs)
         return out, None
+
+    half = arch.depth // 2
+    unroll = _scan_unroll(arch, backend)
+    if arch.checkpoint_activations:
+        # per-block remat like the DiT (the skip stack itself is a scan
+        # OUTPUT, so it is always saved — only intra-block activations are
+        # rematerialized; arch.remat_policy picks what to keep)
+        policy = m.remat_policy_for(arch)
+        first_body = jax.checkpoint(first_body, policy=policy)
+        second_body = jax.checkpoint(second_body, policy=policy)
+    h, skips = jax.lax.scan(first_body, h, params["first_half"], unroll=unroll)
+
+    # reverse the skip stack: last pushed is popped first
+    skips = jnp.flip(skips, axis=0)
 
     h, _ = jax.lax.scan(second_body, h, (params["second_half"], skips),
                         unroll=unroll)

@@ -166,6 +166,19 @@ def _flash_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
 
 # scores (bq x n f32) + kv must fit VMEM alongside q/o
 SINGLE_PASS_MAX_N = 2048
+# flat megakernel ceiling: past FLAT_SINGLE_PASS_MAX_N the streaming variant
+# (online softmax over KV blocks, same flat layout + in-kernel RoPE) takes
+# over; 4096 = the sampler's max_duration cap (config.py), at which the
+# resident k/v/krot/cos/sin blocks total ~45 MB of VMEM
+FLAT_ATTN_MAX_N = 4096
+# flat kernel's own single-pass bound (separate from the head-split kernels'
+# cap). Measured on chip (scripts/fused_attn_longn_ab.py, b=2 dim=1024 h=16
+# bf16, per attn layer incl. projections): single-pass beats the KV-streaming
+# online-softmax variant by ~11% at every n in {2816, 3072, 4096} (1359 vs
+# 1523 us at 2816; 2504 vs 2785 at 4096) and the decomposed head-split path
+# by ~2x — the [bq, n] f32 score panel fits the 64 MB VMEM budget through
+# n=4096, so the streaming kernels stay as the >4096 guard only.
+FLAT_SINGLE_PASS_MAX_N = 4096
 
 
 def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
@@ -635,6 +648,124 @@ def _fused_qkv_attn_kernel(len_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
         jax.lax.fori_loop(0, hd // pair, pair_body, 0)
 
 
+def _fused_qkv_attn_kernel_stream(len_ref, q_ref, k_ref, v_ref, cos_ref,
+                                  sin_ref, o_ref, krot_ref, qrot_ref, *,
+                                  heads: int, sm_scale: float, block_k: int):
+    """Online-softmax variant of _fused_qkv_attn_kernel for long sequences
+    (SINGLE_PASS_MAX_N < n <= FLAT_ATTN_MAX_N — the reference serves
+    3000-frame profiles, reference runtime/triton_trtllm/patch/f5tts/
+    model.py:109, which used to fall off the megakernel entirely).
+
+    Same flat layout, same once-per-batch roped-k scratch, same paired-head
+    128-lane dots as the single-pass kernel; the only change is per
+    head-pair: instead of one [bq, n] f32 score matrix, the (VMEM-resident)
+    roped keys/values are walked in `block_k`-column chunks with the
+    standard online-softmax carries (m, l, acc), so the f32 temporaries
+    stay [bq, block_k]. The k loop stops after the last LIVE key block, so
+    bucket padding (e.g. 2816 live of a 3072 bucket) costs no compute.
+    """
+    qi = pl.program_id(1)
+    valid_len = len_ref[pl.program_id(0)]
+    n, hd = k_ref.shape[1], k_ref.shape[2]
+    bq = q_ref.shape[1]
+    d = hd // heads
+    lane_hd = jax.lax.broadcasted_iota(jnp.int32, (1, hd), 1)
+
+    def rope(xf, cs, sn):
+        rot = jnp.where(lane_hd % 2 == 0,
+                        -pltpu.roll(xf, hd - 1, 1),
+                        pltpu.roll(xf, 1, 1))
+        return xf * cs + rot * sn
+
+    @pl.when(qi == 0)
+    def _():
+        # fixed 128-row chunks (not bq): bq may overhang n when the last q
+        # block is tail-padded (odd 128-multiples, e.g. 2688)
+        def chunk(c, _):
+            rows = pl.ds(c * 128, 128)
+            kf = k_ref[0, rows, :].astype(jnp.float32)
+            cs = cos_ref[rows, :].astype(jnp.float32)
+            sn = sin_ref[rows, :].astype(jnp.float32)
+            krot_ref[rows, :] = rope(kf, cs, sn).astype(krot_ref.dtype)
+            return 0
+        jax.lax.fori_loop(0, n // 128, chunk, 0)
+
+    q_live = qi * bq < valid_len
+
+    @pl.when(jnp.logical_not(q_live))
+    def _():
+        o_ref[0, :, :] = jnp.zeros((bq, hd), o_ref.dtype)
+
+    @pl.when(q_live)
+    def _():
+        rows = pl.ds(qi * bq, bq)
+        qf = q_ref[0, :, :].astype(jnp.float32)
+        cs = cos_ref[rows, :].astype(jnp.float32)
+        sn = sin_ref[rows, :].astype(jnp.float32)
+        qrot_ref[:, :] = (rope(qf, cs, sn) * sm_scale).astype(qrot_ref.dtype)
+
+        # FULL block_k-wide blocks, plus one STATIC-width tail block covering
+        # n % block_k (a 128-multiple). This keeps block_k at 1024 for every
+        # n instead of shrinking it to gcd(n, 1024) — at n=2816 a 256-wide
+        # block_k measured ~35% slower end-to-end than 1024-wide. The full
+        # loop stops after the last LIVE block; the tail runs whenever it
+        # exists (its dead columns are bias-masked; since valid_len >= 1 and
+        # n > block_k, full block 0 always ran, so the online max is finite
+        # and masked columns contribute exp(NEG_INF - m) == 0).
+        num_kb = n // block_k
+        tail_w = n % block_k
+        num_kb_live = jnp.minimum(pl.cdiv(valid_len, block_k), num_kb)
+        pair = max(d, 128)
+        lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, pair), 1)
+
+        def pair_body(hp, _):
+            lanes = pl.ds(hp * pair, pair)
+            qp = qrot_ref[:, lanes]
+            halves = [qp] if pair == d else [
+                jnp.where(lane_p < d, qp, 0).astype(qp.dtype),
+                jnp.where(lane_p >= d, qp, 0).astype(qp.dtype),
+            ]
+            pvs = []
+            for qh in halves:
+                def online_step(k_off, width, carry):
+                    m_prev, l_prev, acc = carry
+                    kcols = pl.ds(k_off, width)
+                    kp = krot_ref[kcols, lanes]
+                    vp = v_ref[0, kcols, lanes]
+                    s = jax.lax.dot_general(
+                        qh, kp, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [bq, width]
+                    col = k_off + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, width), 1)
+                    s = s + jnp.where(col < valid_len, 0.0, NEG_INF)
+                    m_cur = jnp.max(s, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m_prev, m_cur)
+                    alpha = jnp.exp(m_prev - m_new)
+                    p = jnp.exp(s - m_new)
+                    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                    acc = acc * alpha + jax.lax.dot_general(
+                        p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    return m_new, l_new, acc
+
+                m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+                l0 = jnp.zeros((bq, 1), jnp.float32)
+                acc0 = jnp.zeros((bq, pair), jnp.float32)
+                carry = jax.lax.fori_loop(
+                    0, num_kb_live,
+                    lambda kb, c: online_step(kb * block_k, block_k, c),
+                    (m0, l0, acc0))
+                if tail_w:
+                    carry = online_step(num_kb * block_k, tail_w, carry)
+                m, l, acc = carry
+                pvs.append(acc / jnp.where(l == 0.0, 1.0, l))
+            op = pvs[0] if pair == d else jnp.where(lane_p < d, pvs[0], pvs[1])
+            o_ref[0, :, lanes] = op.astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, hd // pair, pair_body, 0)
+
+
 def _fused_qkv_rope_attention_impl(
     qkv: jax.Array,       # [b, n, 3*h*d] fused projection output (flat)
     cos: jax.Array,       # [n, h*d] flat rope table (rope_flat_tables)
@@ -644,8 +775,9 @@ def _fused_qkv_rope_attention_impl(
 ) -> jax.Array:
     """Flat-layout attention with in-kernel RoPE; returns [b, n, h*d].
 
-    Requires n % block == 0, (h*d) % 128 == 0, d in {64,128},
-    n <= SINGLE_PASS_MAX_N (single KV pass; scores fit VMEM).
+    Requires n % 128 == 0, (h*d) % 128 == 0, d in {64,128},
+    n <= FLAT_ATTN_MAX_N. n <= SINGLE_PASS_MAX_N runs the single-KV-pass
+    kernel (scores fit VMEM); longer sequences the streaming variant.
     """
     b, n, hd3 = qkv.shape
     hd = hd3 // 3
@@ -667,8 +799,20 @@ def _fused_qkv_rope_attention_impl(
         sin = jnp.pad(sin, ((0, n_pad - n), (0, 0)))
     grid = (b, n_pad // bq)
 
+    if n <= FLAT_SINGLE_PASS_MAX_N:
+        kernel = functools.partial(_fused_qkv_attn_kernel, heads=heads,
+                                   sm_scale=sm_scale)
+    else:
+        # block_k fixed at 1024 regardless of n: full blocks + a static
+        # (n % 1024)-wide tail block inside the kernel. Shrinking block_k to
+        # gcd(n, 1024) instead measured ~35% slower e2e at n=2816 (256-wide
+        # dots pay per-iteration VPU overheads 4x as often).
+        kernel = functools.partial(
+            _fused_qkv_attn_kernel_stream, heads=heads, sm_scale=sm_scale,
+            block_k=1024)
+
     return pl.pallas_call(
-        functools.partial(_fused_qkv_attn_kernel, heads=heads, sm_scale=sm_scale),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -976,6 +1120,100 @@ def _fused_qkv_attn_bias_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref,
     jax.lax.fori_loop(0, hd // pair, pair_body, 0)
 
 
+def _fused_qkv_attn_bias_kernel_stream(q_ref, k_ref, v_ref, cos_ref, sin_ref,
+                                       bias_ref, o_ref, krot_ref, qrot_ref, *,
+                                       heads: int, sm_scale: float,
+                                       block_k: int):
+    """Online-softmax variant of the bias megakernel for long joint
+    sequences (n > FLAT_SINGLE_PASS_MAX_N): same structure as
+    _fused_qkv_attn_kernel_stream, but the key mask arrives as the additive
+    [1, n] bias row (dead keys mid-sequence) instead of prefix lengths, so
+    there is no live-stop — every block runs with its bias slice. A fully
+    masked block is self-healing: its (finite, NEG_INF-shifted) scores give
+    large-but-finite p that the next live block's alpha = exp(m_old - m_new)
+    rescale flushes to zero, and fully masked query rows are masked
+    downstream (mmdit._joint_attention) exactly like the single-pass path.
+    """
+    qi = pl.program_id(1)
+    n, hd = k_ref.shape[1], k_ref.shape[2]
+    bq = q_ref.shape[1]
+    d = hd // heads
+    lane_hd = jax.lax.broadcasted_iota(jnp.int32, (1, hd), 1)
+
+    def rope(xf, cs, sn):
+        rot = jnp.where(lane_hd % 2 == 0,
+                        -pltpu.roll(xf, hd - 1, 1),
+                        pltpu.roll(xf, 1, 1))
+        return xf * cs + rot * sn
+
+    @pl.when(qi == 0)
+    def _():
+        def chunk(c, _):
+            rows = pl.ds(c * 128, 128)
+            kf = k_ref[0, rows, :].astype(jnp.float32)
+            cs = cos_ref[rows, :].astype(jnp.float32)
+            sn = sin_ref[rows, :].astype(jnp.float32)
+            krot_ref[rows, :] = rope(kf, cs, sn).astype(krot_ref.dtype)
+            return 0
+        jax.lax.fori_loop(0, n // 128, chunk, 0)
+
+    rows = pl.ds(qi * bq, bq)
+    qf = q_ref[0, :, :].astype(jnp.float32)
+    cs = cos_ref[rows, :].astype(jnp.float32)
+    sn = sin_ref[rows, :].astype(jnp.float32)
+    qrot_ref[:, :] = (rope(qf, cs, sn) * sm_scale).astype(qrot_ref.dtype)
+
+    num_kb = n // block_k
+    tail_w = n % block_k
+    pair = max(d, 128)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, pair), 1)
+
+    def pair_body(hp, _):
+        lanes = pl.ds(hp * pair, pair)
+        qp = qrot_ref[:, lanes]
+        halves = [qp] if pair == d else [
+            jnp.where(lane_p < d, qp, 0).astype(qp.dtype),
+            jnp.where(lane_p >= d, qp, 0).astype(qp.dtype),
+        ]
+        pvs = []
+        for qh in halves:
+            def online_step(k_off, width, carry):
+                m_prev, l_prev, acc = carry
+                kcols = pl.ds(k_off, width)
+                kp = krot_ref[kcols, lanes]
+                vp = v_ref[0, kcols, lanes]
+                s = jax.lax.dot_general(
+                    qh, kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [bq, width]
+                s = s + bias_ref[0, 0:1, kcols]
+                m_cur = jnp.max(s, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                acc = acc * alpha + jax.lax.dot_general(
+                    p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return m_new, l_new, acc
+
+            m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((bq, 1), jnp.float32)
+            acc0 = jnp.zeros((bq, pair), jnp.float32)
+            carry = jax.lax.fori_loop(
+                0, num_kb,
+                lambda kb, c: online_step(kb * block_k, block_k, c),
+                (m0, l0, acc0))
+            if tail_w:
+                carry = online_step(num_kb * block_k, tail_w, carry)
+            m, l, acc = carry
+            pvs.append(acc / jnp.where(l == 0.0, 1.0, l))
+        op = pvs[0] if pair == d else jnp.where(lane_p < d, pvs[0], pvs[1])
+        o_ref[0, :, lanes] = op.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, hd // pair, pair_body, 0)
+
+
 def _fused_qkv_bias_impl(qkv, cos, sin, kmask, heads: int):
     b, n, hd3 = qkv.shape
     hd = hd3 // 3
@@ -993,9 +1231,15 @@ def _fused_qkv_bias_impl(qkv, cos, sin, kmask, heads: int):
         sin = jnp.pad(sin, ((0, n_pad - n), (0, 0)))
     sm_scale = 1.0 / math.sqrt(d)
     bias = jnp.where(kmask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    if n <= FLAT_SINGLE_PASS_MAX_N:
+        kernel = functools.partial(_fused_qkv_attn_bias_kernel, heads=heads,
+                                   sm_scale=sm_scale)
+    else:
+        kernel = functools.partial(_fused_qkv_attn_bias_kernel_stream,
+                                   heads=heads, sm_scale=sm_scale,
+                                   block_k=1024)
     return pl.pallas_call(
-        functools.partial(_fused_qkv_attn_bias_kernel, heads=heads,
-                          sm_scale=sm_scale),
+        kernel,
         grid=(b, n_pad // bq),
         in_specs=[
             pl.BlockSpec((1, bq, hd), lambda bi, qi: (bi, qi, 0)),
@@ -1049,17 +1293,20 @@ FORCE_BIAS_KERNEL = False
 def fused_qkv_rope_attention_bias(qkv, cos, sin, kmask, heads: int):
     """Flat fused QKV+RoPE attention with an arbitrary [b, n] key mask.
 
-    Pallas on TPU (n % 128 == 0, n <= SINGLE_PASS_MAX_N, d in {64, 128});
-    XLA decomposition elsewhere. Backward is the flat Pallas dQKV kernel
-    (_fused_bias_bwd_kernel — the DiT _fused_qkv_bwd_kernel recipe with the
-    [1, n] additive key bias), falling back to the XLA decomposition's VJP
-    off-TPU or for shapes past FUSED_BIAS_BWD_MAX_N, so MMDiT trains at
-    flash memory instead of materializing O(n^2) joint scores."""
+    Pallas on TPU (n % 128 == 0, n <= FLAT_ATTN_MAX_N, d in {64, 128});
+    single-KV-pass kernel up to FLAT_SINGLE_PASS_MAX_N, the KV-streaming
+    online-softmax variant beyond (long joint sequences — a 30 s clone's
+    joint row count exceeds 2048). XLA decomposition elsewhere. Backward is
+    the flat Pallas dQKV kernel (_fused_bias_bwd_kernel — the DiT
+    _fused_qkv_bwd_kernel recipe with the [1, n] additive key bias), falling
+    back to the XLA decomposition's VJP off-TPU or for shapes past
+    FUSED_BIAS_BWD_MAX_N, so MMDiT trains at flash memory instead of
+    materializing O(n^2) joint scores."""
     b, n, hd3 = qkv.shape
     hd = hd3 // 3
     d = hd // heads
     if ((jax.default_backend() == "tpu" or FORCE_BIAS_KERNEL) and n % 128 == 0
-            and n <= SINGLE_PASS_MAX_N and d in (64, 128) and hd % 128 == 0):
+            and n <= FLAT_ATTN_MAX_N and d in (64, 128) and hd % 128 == 0):
         return _fused_qkv_bias_impl(qkv, cos, sin, kmask, heads)
     return _bias_decomposed_ref(qkv, cos, sin, kmask, heads)
 

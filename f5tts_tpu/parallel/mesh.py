@@ -169,35 +169,41 @@ def train_state_shardings(state, mesh: Mesh, zero1: bool = True):
     def named(spec_tree):
         return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree)
 
-    # opt_state: map STRUCTURALLY, not by leaf shape. mu/nu (and any other
-    # param-mirror subtree) share the params treedef, so substitute the full
-    # state_specs tree wherever a subtree matches it; everything else
-    # (schedule/clip counters, EmptyState) stays replicated. Shape-keyed
-    # mapping collided same-shape leaves with different TP specs (square
-    # to_q col vs to_out row kernels; [depth,dim] col kernels vs biases),
-    # leaving the losers' moments on a layout mismatched to their grads.
-    params_td = jax.tree.structure(state.params)
+    return type(state)(
+        step=NamedSharding(mesh, P()),
+        params=named(param_specs),
+        opt_state=named(opt_state_specs(state.opt_state, state.params,
+                                        state_specs)),
+        ema_params=named(state_specs),
+    )
 
-    def opt_specs(node):
+
+def opt_state_specs(opt_state, params, state_specs):
+    """Spec tree for an optax state: map STRUCTURALLY, not by leaf shape.
+    mu/nu (and any other param-mirror subtree) share the params treedef, so
+    the full `state_specs` tree substitutes wherever a subtree matches it;
+    everything else (schedule/clip counters, EmptyState) stays replicated.
+    Shape-keyed mapping collided same-shape leaves with different TP specs
+    (square to_q col vs to_out row kernels; [depth,dim] col kernels vs
+    biases), leaving the losers' moments on a layout mismatched to their
+    grads (ADVICE r4)."""
+    params_td = jax.tree.structure(params)
+
+    def rec(node):
         if node is None:
             return None
         if jax.tree.structure(node) == params_td:
             return state_specs
         if isinstance(node, dict):
-            return {k: opt_specs(v) for k, v in node.items()}
+            return {k: rec(v) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
-            mapped = [opt_specs(c) for c in node]
+            mapped = [rec(c) for c in node]
             if hasattr(node, "_fields"):  # NamedTuple (optax states)
                 return type(node)(*mapped)
             return type(node)(mapped) if isinstance(node, list) else tuple(mapped)
         return P()
 
-    return type(state)(
-        step=NamedSharding(mesh, P()),
-        params=named(param_specs),
-        opt_state=named(opt_specs(state.opt_state)),
-        ema_params=named(state_specs),
-    )
+    return rec(opt_state)
 
 
 def shard_train_state(state, mesh: Mesh, zero1: bool = True):

@@ -35,6 +35,9 @@ def main(argv=None):
                     choices=["nothing", "dots", "attn", "attn_out"])
     ap.add_argument("--no-remat", action="store_true",
                     help="disable activation checkpointing (fits at b<=8)")
+    ap.add_argument("--bf16-state", action="store_true",
+                    help="store AdamW moments + EMA in bf16 (state/2; "
+                         "fits full-size MMDiT_Base single-chip)")
     ap.add_argument("--ema-skip", action="store_true",
                     help="dispatch the no-EMA step variant on the 9/10 steps "
                          "where the EMA update is a provable no-op")
@@ -69,7 +72,8 @@ def main(argv=None):
                     total_updates=10000)
     tx = make_optimizer(learning_rate=7.5e-5, warmup_updates=1000,
                         total_updates=10000)
-    state = init_train_state(params, tx)
+    sdt = jnp.bfloat16 if args.bf16_state else None
+    state = init_train_state(params, tx, moment_dtype=sdt, ema_dtype=sdt)
     raw_step = make_train_step(
         statics, tx, backend=args.backend, backbone=bdef,
         fuse_qkv=not args.no_fuse_qkv, hp=hp)

@@ -81,4 +81,35 @@ orf = mha_reference_masked(q, k, v, km)
 md = float(jnp.max(jnp.abs(om - orf)))
 print(f"masked flash fwd max|d| = {md:.3e}")
 assert md < 3e-2
+
+# long-n flat megakernel at production width, bf16, ragged lengths — both
+# the default single-pass kernel and the >4096-guard KV-streaming variant
+# (FLAT_SINGLE_PASS_MAX_N lowered), incl. an n % 1024 != 0 tail-block shape
+from f5tts_tpu.ops import attention as _att
+
+for _cap, _vn in ((4096, "single"), (2048, "stream")):
+  _att.FLAT_SINGLE_PASS_MAX_N = _cap
+  for n_l, lens_l in ((3072, (2816, 3072)), (2816, (2700, 2816))):
+    qkv_l = jnp.asarray(rng.standard_normal((2, n_l, 3 * hd)) * 0.5, jnp.bfloat16)
+    ang_l = rope_freqs_interleaved(d, n_l)
+    cos_l, sin_l = rope_flat_tables(ang_l, n_l, h, None)
+    lens_j = jnp.asarray(lens_l, jnp.int32)
+    rm = (jnp.arange(n_l)[None, :] < lens_j[:, None])[:, :, None]
+
+    def oracle_l(x):
+        qq, kk, vv = jnp.split(x, 3, axis=-1)
+        qr = apply_rotary_flat(qq, ang_l, h)
+        kr = apply_rotary_flat(kk, ang_l, h)
+        sh2 = lambda t: t.reshape(2, n_l, h, d).transpose(0, 2, 1, 3)
+        o = mha_reference(sh2(qr), sh2(kr), sh2(vv), lens_j)
+        return o.transpose(0, 2, 1, 3).reshape(2, n_l, hd)
+
+    o_l = jax.jit(lambda x: fused_qkv_rope_attention(x, cos_l, sin_l, lens_j, h))(qkv_l)
+    d_l = jnp.where(rm, o_l.astype(jnp.float32)
+                    - jax.jit(oracle_l)(qkv_l).astype(jnp.float32), 0.0)
+    md_l = float(jnp.max(jnp.abs(d_l)))
+    print(f"long-n megakernel [{_vn}] n={n_l} max|d| (live rows) = {md_l:.3e}")
+    assert md_l < 3e-2
+
+_att.FLAT_SINGLE_PASS_MAX_N = 4096
 print("ALL KERNEL NUMERICS OK on", jax.devices()[0])

@@ -72,12 +72,35 @@ def make_optimizer(
     )
 
 
-def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
+def init_train_state(params: dict, tx: optax.GradientTransformation,
+                     moment_dtype=None, ema_dtype=None) -> TrainState:
+    """`moment_dtype`/`ema_dtype` (e.g. jnp.bfloat16) opt into low-memory
+    optimizer state: mu/nu and the EMA tree are STORED in the reduced dtype
+    while the fused update still computes in f32 (make_train_step casts per
+    leaf). At MMDiT_Base (645M) scale this halves the 10.3 GB f32 state to
+    ~5.2 GB — the difference between fitting and OOMing single-chip without
+    buffer donation (which the dev tunnel rejects). Numerics gate:
+    tests/test_train.py::test_bf16_state_tracks_f32_state."""
+    opt_state = tx.init(params)
+    if moment_dtype is not None:
+        def cast_moments(node):
+            if isinstance(node, optax.ScaleByAdamState):
+                return node._replace(
+                    mu=jax.tree.map(lambda a: a.astype(moment_dtype), node.mu),
+                    nu=jax.tree.map(lambda a: a.astype(moment_dtype), node.nu))
+            if isinstance(node, tuple):
+                mapped = [cast_moments(c) for c in node]
+                return (type(node)(*mapped) if hasattr(node, "_fields")
+                        else tuple(mapped))
+            return node
+        opt_state = cast_moments(opt_state)
+    ema = jax.tree.map(
+        lambda a: a.astype(ema_dtype) if ema_dtype is not None else a, params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
-        ema_params=jax.tree.map(lambda a: a, params),
+        opt_state=opt_state,
+        ema_params=ema,
     )
 
 
@@ -179,11 +202,15 @@ def make_train_step(
         alpha = _ema_alpha(step)
 
         def leaf(p, g, mu, nu, e):
-            g = g * gscale
-            mu2 = hp.b1 * mu + (1.0 - hp.b1) * g
-            nu2 = hp.b2 * nu + (1.0 - hp.b2) * g * g
+            # compute in f32 regardless of the STORED moment dtype (bf16
+            # moments opt-in, init_train_state moment_dtype); for f32 state
+            # every astype below is a no-op and numerics stay bit-identical
+            g = g.astype(jnp.float32) * gscale
+            mu2 = hp.b1 * mu.astype(jnp.float32) + (1.0 - hp.b1) * g
+            nu2 = hp.b2 * nu.astype(jnp.float32) + (1.0 - hp.b2) * g * g
             upd = (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + hp.eps) + hp.weight_decay * p
             p2 = p - lr * upd
+            mu2, nu2 = mu2.astype(mu.dtype), nu2.astype(nu.dtype)
             if skip_ema:
                 # steps the EMA provably skips (step % update_every != 0 ->
                 # alpha == 1): pass the tree through UNTOUCHED — jit forwards

@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--zero1", action="store_true",
                    help="shard AdamW moments + EMA over the data axis "
                         "(ZeRO-1; fits full-size MMDiT_Base training)")
+    p.add_argument("--bf16_state", action="store_true",
+                   help="store AdamW moments + EMA in bf16 (halves the f32 "
+                        "optimizer state; update math stays f32 — fits "
+                        "full-size MMDiT_Base training on ONE chip)")
     p.add_argument("overrides", nargs="*", help="key.path=value overrides")
     args = p.parse_args(argv)
 
@@ -87,6 +91,7 @@ def main(argv=None):
         dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
         backend="pallas",  # O(n) flash attention fwd+bwd on TPU (XLA fallback off-TPU)
         zero1=args.zero1,
+        bf16_state=args.bf16_state,
     )
     metrics = trainer.train(dataset, resumable_with_seed=666,
                             max_updates=args.max_updates)

@@ -56,6 +56,9 @@ class Trainer:
         sample_fn: Optional[Callable] = None,
         vocoder: Optional[Callable] = None,  # mel [b,d,t] -> wav; enables log_samples
         zero1: bool = False,  # ZeRO-1: shard AdamW moments + EMA over "data"
+        bf16_state: bool = False,  # store mu/nu + EMA in bf16 (half the
+        # f32 optimizer state; fused update still computes f32 — what
+        # lets full-size MMDiT_Base train single-chip without donation)
     ):
         self.cfg = train_cfg
         self.backbone = backbone
@@ -76,7 +79,9 @@ class Trainer:
         self.tx = make_optimizer(
             train_cfg.learning_rate, warmup, total, train_cfg.max_grad_norm
         )
-        self.state = init_train_state(params, self.tx)
+        sdt = jnp.bfloat16 if bf16_state else None
+        self.state = init_train_state(params, self.tx,
+                                      moment_dtype=sdt, ema_dtype=sdt)
         step_impl = make_train_step(
             statics, self.tx, cfm_cfg,
             ema_decay=train_cfg.ema_decay,

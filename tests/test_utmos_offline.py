@@ -107,6 +107,48 @@ def test_loader_accepts_hub_embedding_tables(saved_ckpt):
     torch.testing.assert_close(model.judge_emb.data, judge_table[288])
 
 
+def test_loader_full_hub_spelling_round_trip(saved_ckpt):
+    """VERDICT r4 #6: a state dict in the GENUINE hub spelling — `model.`
+    wrapper prefix, `ssl_model.` SSL tree, `.self_attn.` / `.fc1.` / `.fc2.`
+    layer names, torchaudio's `.transformer.layers.`, fairseq's
+    `post_extract_proj`, weight-normed pos-conv, and [K,128] domain/judge
+    tables — must be fully consumed with every value landing."""
+    path, ref = saved_ckpt
+    sd = torch.load(path, weights_only=True)
+    hub = {}
+    for k, v in sd.items():
+        if k == "domain_emb":
+            hub["model.domain_emb.weight"] = torch.stack([v, torch.zeros_like(v)])
+            continue
+        if k == "judge_emb":
+            table = torch.zeros(289, 128)
+            table[288] = v
+            hub["model.judge_emb.weight"] = table
+            continue
+        if k.startswith("wav2vec2."):
+            k = "ssl_model." + k[len("wav2vec2."):]
+            k = k.replace(".encoder.layers.", ".encoder.transformer.layers.")
+            k = k.replace(".attention.", ".self_attn.")
+            k = k.replace(".feed_forward.intermediate_dense.", ".fc1.")
+            k = k.replace(".feed_forward.output_dense.", ".fc2.")
+            k = k.replace(".encoder.feature_projection.projection.",
+                          ".post_extract_proj.")
+            if k.endswith("pos_conv_embed.conv.weight"):
+                g = v.norm(dim=(0, 1), keepdim=True)
+                hub["model." + k + "_g"] = g
+                hub["model." + k + "_v"] = v.clone()
+                continue
+        hub["model." + k] = v
+    hubp = path + ".hubfull"
+    torch.save(hub, hubp)
+    model = UTMOS22Strong()
+    stats = load_checkpoint(model, hubp)
+    assert stats["consumed"] == stats["total"]
+    for (k, a), (_, b) in zip(sorted(model.state_dict().items()),
+                              sorted(ref.state_dict().items())):
+        torch.testing.assert_close(a, b, atol=1e-5, rtol=1e-5, msg=k)
+
+
 def test_loader_refuses_short_judge_table(saved_ckpt):
     path, _ = saved_ckpt
     sd = torch.load(path, weights_only=True)

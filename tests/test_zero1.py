@@ -191,6 +191,115 @@ def test_zero1_grad_accum_apply(mesh):
     assert tuple(mu_leaf.addressable_shards[0].data.shape) != tuple(mu_leaf.shape)
 
 
+def test_zero1_lora_grad_accum_ckpt_composition(mesh, tmp_path):
+    """VERDICT r4 #8: the full stack in ONE test — LoRA adapters TP-spec'd
+    like their base kernels, AdamW moments ZeRO-1-sharded over "data",
+    gradient ACCUMULATION across micro-batches, a checkpoint save/restore
+    in the middle re-establishing both layouts — with exact numerics vs the
+    unsharded equivalent."""
+    import optax
+    from jax.sharding import NamedSharding
+
+    from f5tts_tpu.config import CFMConfig
+    from f5tts_tpu.models import cfm as cfm_mod
+    from f5tts_tpu.parallel.mesh import (dit_param_specs, opt_state_specs,
+                                         zero1_param_specs)
+    from f5tts_tpu.train.checkpoint import CheckpointManager
+    from f5tts_tpu.train.lora import (LoRAConfig, apply_lora, init_lora,
+                                      lora_param_specs)
+    from f5tts_tpu.train.step import TrainState
+    from tests.helpers import denseify
+
+    base = denseify(dit.init_dit(jax.random.PRNGKey(0), ARCH))
+    lcfg = LoRAConfig(rank=4)
+    lora0 = init_lora(jax.random.PRNGKey(1), base, lcfg)
+    tx = optax.adamw(5e-3)
+    opt0 = tx.init(lora0)
+    statics = dit.DiTStatics(ARCH)
+    ccfg = CFMConfig(audio_drop_prob=0.0, cond_drop_prob=0.0)
+
+    def loss_fn(lo, key, mel, text, lens):
+        merged = apply_lora(base, lo, lcfg)
+        loss, _ = cfm_mod.cfm_loss(merged, statics, key, mel, text, lens,
+                                   cfg=ccfg, dtype=jnp.float32, backend="xla")
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def apply_accum(lo, opt, gsum):
+        g = jax.tree.map(lambda a: a / 2.0, gsum)  # 2 micro-batches
+        updates, opt2 = tx.update(g, opt, lo)
+        return optax.apply_updates(lo, updates), opt2
+
+    micro = [_batch(b=4, n=64, seed=s) for s in (0, 1)]
+    keys = [jax.random.PRNGKey(10 + i) for i in range(4)]
+
+    # ---- unsharded reference: 2 accumulation steps of 2 micro-batches ----
+    ref_lora, ref_opt = lora0, opt0
+    for step_i in range(2):
+        gsum = None
+        for mb, (mel, text, lens) in enumerate(micro):
+            _, g = grad_fn(ref_lora, keys[2 * step_i + mb], mel, text, lens)
+            gsum = g if gsum is None else jax.tree.map(jnp.add, gsum, g)
+        ref_lora, ref_opt = apply_accum(ref_lora, ref_opt, gsum)
+
+    # ---- sharded: LoRA TP specs + ZeRO-1 moments, accum, mid-way ckpt ----
+    l_specs = lora_param_specs(lora0, dit_param_specs(base))
+    z_specs = zero1_param_specs(lora0, mesh, l_specs)
+    o_specs = opt_state_specs(opt0, lora0, z_specs)
+
+    def named(t):
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), t)
+
+    lora_sh = jax.tree.map(jax.device_put, lora0, named(l_specs))
+    opt_sh = jax.tree.map(jax.device_put, opt0, named(o_specs))
+    dsh = NamedSharding(mesh, P("data"))
+    out_sh = (named(l_specs), named(o_specs))
+
+    jgrad = jax.jit(grad_fn)
+    japply = jax.jit(apply_accum, out_shardings=out_sh)
+
+    def one_step(lo, opt, step_i):
+        gsum = None
+        for mb, (mel, text, lens) in enumerate(micro):
+            mels, texts, lenss = (jax.device_put(a, dsh)
+                                  for a in (mel, text, lens))
+            _, g = jgrad(lo, keys[2 * step_i + mb], mels, texts, lenss)
+            gsum = g if gsum is None else jax.tree.map(jnp.add, gsum, g)
+        return japply(lo, opt, gsum)
+
+    with jax.set_mesh(mesh):
+        lora_sh, opt_sh = one_step(lora_sh, opt_sh, 0)
+
+    # ZeRO-1 moments genuinely distributed after step 1
+    mu = opt_sh[0].mu["attn"]["to_q"]["b"]  # [depth, rank, out] col leaf
+    assert tuple(mu.addressable_shards[0].data.shape) != tuple(mu.shape)
+
+    # checkpoint round-trip re-establishes BOTH layouts (TP adapters +
+    # ZeRO-1 moments); ride the TrainState container the manager speaks
+    ckpt = CheckpointManager(str(tmp_path), keep_last_n=2)
+    state = TrainState(step=jnp.ones((), jnp.int32), params=lora_sh,
+                       opt_state=opt_sh, ema_params=lora_sh)
+    ckpt.save(state, wait=True)
+    restored = ckpt.restore(state)
+    ckpt.close()
+    assert restored is not None
+    r_mu = restored.opt_state[0].mu["attn"]["to_q"]["b"]
+    assert tuple(r_mu.addressable_shards[0].data.shape) != tuple(r_mu.shape)
+    r_lq = restored.params["attn"]["to_q"]["b"]
+    assert r_lq.sharding.spec == l_specs["attn"]["to_q"]["b"]
+
+    with jax.set_mesh(mesh):
+        lora_fin, opt_fin = one_step(restored.params, restored.opt_state, 1)
+
+    for a, b in zip(jax.tree.leaves(lora_fin), jax.tree.leaves(ref_lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(opt_fin), jax.tree.leaves(ref_opt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_zero1_trainer_wiring(mesh, tmp_path):
     """Trainer(zero1=True) shards the state and keeps steps numerically
     sane; checkpoint restore re-shards."""
