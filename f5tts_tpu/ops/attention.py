@@ -1509,12 +1509,13 @@ def mha_reference_masked(q, k, v, kmask):
 @jax.custom_vjp
 def masked_flash_attention(q, k, v, kmask):
     """Key-masked attention: Pallas single-pass kernel on TPU (n % 128 == 0,
-    n <= SINGLE_PASS_MAX_N), XLA reference elsewhere. The backward runs the
-    XLA reference VJP (same recipe as ops/adaln_norm.py) — the forward is the
-    hot path (MMDiT sampler); training numerics match the XLA path exactly."""
+    n <= FLAT_ATTN_MAX_N — per-head k/v/score VMEM stays small through 4096),
+    XLA reference elsewhere. The backward runs the XLA reference VJP (same
+    recipe as ops/adaln_norm.py) — the forward is the hot path (MMDiT
+    sampler); training numerics match the XLA path exactly."""
     b, h, n, d = q.shape
     if (jax.default_backend() == "tpu" and n % 128 == 0
-            and n <= SINGLE_PASS_MAX_N and d in (64, 128)):
+            and n <= FLAT_ATTN_MAX_N and d in (64, 128)):
         return _masked_flash_forward(q, k, v, kmask)
     return mha_reference_masked(q, k, v, kmask)
 

@@ -24,7 +24,9 @@ def main(argv=None):
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--no-fuse-qkv", action="store_true")
     ap.add_argument("--donate", action="store_true",
-                    help="donate the state (rejected by the dev-tunnel backend)")
+                    help="donate the state: no in/out double-buffer — fits "
+                         "full-size MMDiT_Base (645M) single-chip (the dev "
+                         "tunnel accepts donation again as of round 5)")
     ap.add_argument("--preset", default="F5TTS_v1_Base")
     ap.add_argument("--dim", type=int, default=None,
                     help="override arch dim (e.g. MMDiT_Base at dim 768 is "
@@ -35,6 +37,12 @@ def main(argv=None):
                     choices=["nothing", "dots", "attn", "attn_out"])
     ap.add_argument("--no-remat", action="store_true",
                     help="disable activation checkpointing (fits at b<=8)")
+    ap.add_argument("--split-apply", action="store_true",
+                    help="run grad_step and apply_step as two jits: the "
+                         "grad jit never holds the optimizer state and the "
+                         "apply jit never holds activations, nearly halving "
+                         "peak HBM vs the fused step (what fits full-size "
+                         "MMDiT_Base 645M single-chip without donation)")
     ap.add_argument("--bf16-state", action="store_true",
                     help="store AdamW moments + EMA in bf16 (state/2; "
                          "fits full-size MMDiT_Base single-chip)")
@@ -121,6 +129,16 @@ def main(argv=None):
         print(f"{dt * 1e3:.1f} ms/step  {frames_per_s / 1e3:.1f}k frames/s/chip  "
               f"(~{frames_per_s * 256 / 24000:.0f} audio-s/s)")
         return
+
+    if args.split_apply:
+        grad_fn = jax.jit(raw_step.grad_step)
+        apply_fn = jax.jit(raw_step.apply_step)
+
+        def step_fn(st, key, mel_, text_, lens_):
+            loss, grads = grad_fn(st.params, key, mel_, text_, lens_)
+            st2, mm = apply_fn(st, loss, grads)
+            return st2, mm
+        noema_fn = None
 
     t0 = time.time()
     state, m = step_fn(state, jax.random.PRNGKey(0), mel, text, lens)

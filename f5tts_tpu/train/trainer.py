@@ -92,9 +92,19 @@ class Trainer:
         # donate the state (opt-in): without aliasing, params/opt/EMA
         # (~6.7 GB f32 at 336M params) double-buffer across the step; the
         # trainer only ever uses the RETURNED state after a call. Off by
-        # default because the dev-tunnel TPU backend rejects donated buffers
-        # at dispatch (InvalidArgument); enable on directly-attached chips.
-        donate = (0,) if os.environ.get("F5TTS_DONATE_STATE") else ()
+        # Donate the carried state (no in/out double-buffer). The dev tunnel
+        # still rejects f32-state donation at dispatch (InvalidArgument,
+        # measured r5 at every size), but ACCEPTS it when the moments/EMA
+        # ride bf16 (bf16_state) — which is also the config whose smaller
+        # state makes donation matter (645M MMDiT_Base single-chip:
+        # 149.5 ms/step b=4, BENCH_HISTORY r5). Default accordingly;
+        # F5TTS_DONATE_STATE=1/0 force-overrides for directly-attached
+        # chips (which accept f32 donation) or rejecting backends.
+        env = os.environ.get("F5TTS_DONATE_STATE")
+        if env is not None:
+            donate = (0,) if env != "0" else ()
+        else:
+            donate = (0,) if bf16_state else ()
         # ZeRO-1 (opt-in, mesh required): AdamW mu/nu + the EMA tree shard
         # over "data" (parallel/mesh.py:zero1_param_specs) — the reference
         # replicates all of it per rank (DDP). Cuts the f32 state from

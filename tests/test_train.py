@@ -171,6 +171,33 @@ def test_bf16_state_tracks_f32_state():
     assert (num / max(den, 1e-12)) ** 0.5 < 2e-3, (num, den)
 
 
+def test_trainer_bf16_state_wiring(tmp_path):
+    """Trainer(bf16_state=True): moments/EMA stored bf16, state donated to
+    the step (defaulted together — the config that fits 645M MMDiT_Base
+    single-chip), steps numerically sane."""
+    from f5tts_tpu.config import TrainConfig
+    from f5tts_tpu.train.trainer import Trainer
+
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    tr = Trainer(params, dit.DiTStatics(ARCH),
+                 TrainConfig(batch_size_per_device=800, max_samples=4,
+                             num_warmup_updates=2, save_per_updates=1000,
+                             last_per_updates=1000, save_dir=str(tmp_path),
+                             logger=None),
+                 backend="xla", dtype=jnp.float32, total_updates=16,
+                 bf16_state=True)
+    adam = tr.state.opt_state[1][0]
+    assert all(a.dtype == jnp.bfloat16 for a in jax.tree.leaves(adam.mu))
+    assert all(a.dtype == jnp.bfloat16
+               for a in jax.tree.leaves(tr.state.ema_params))
+    mel, text, lens = _synthetic_batch()
+    st, m = tr._step_fn(tr.state, jax.random.PRNGKey(1), mel, text, lens)
+    assert np.isfinite(float(m["loss"]))
+    adam2 = st.opt_state[1][0]
+    assert all(a.dtype == jnp.bfloat16 for a in jax.tree.leaves(adam2.mu))
+    tr.ckpt.close()
+
+
 def test_ema_update_cadence():
     params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
     statics = dit.DiTStatics(ARCH)
