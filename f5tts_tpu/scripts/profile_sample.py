@@ -15,7 +15,7 @@ import argparse
 import dataclasses
 
 
-def run_workload(logdir: str):
+def run_workload(logdir: str, frames: int = 1024):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,10 +33,10 @@ def run_workload(logdir: str):
     voc = Vocos(init_vocos(jax.random.PRNGKey(1), VocosConfig()), VocosConfig())
 
     rng = np.random.default_rng(0)
-    cond = jnp.asarray(rng.standard_normal((1, 1024, 100)) * 0.1, jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((1, frames, 100)) * 0.1, jnp.float32)
     text = jnp.asarray(rng.integers(1, 2545, (1, 128)), jnp.int32)
     lens = jnp.full((1,), 256, jnp.int32)
-    duration = jnp.full((1,), 1024, jnp.int32)
+    duration = jnp.full((1,), frames, jnp.int32)
     t_grid = make_time_grid(16, sway_sampling_coef=-1.0, use_epss=True)
 
     @jax.jit
@@ -64,9 +64,10 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--key", default="source", choices=["source", "op"])
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--frames", type=int, default=1024)
     args = ap.parse_args(argv)
     if not args.parse_only:
-        run_workload(args.logdir)
+        run_workload(args.logdir, args.frames)
     from f5tts_tpu.profiling import summarize_trace
 
     summarize_trace(args.logdir, steps=3, top=args.top, key=args.key)
