@@ -447,7 +447,11 @@ def _flash_backward_fused(q, k, v, lengths, o, lse, do):
                    jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # whole-sequence q/do/lse/delta blocks + the revisited f32 dq
+            # block overflow the 16 MB scoped default past n=2048 (long-clip
+            # training: the reference trains 0.3-30 s samples)
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lens32, q, k, v, do, lse, delta)
     return dq.astype(q.dtype), dk, dv
@@ -485,7 +489,8 @@ def _flash_backward(q, k, v, lengths, o, lse, do):
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lens32, q, k, v, do, lse, delta)
 
@@ -510,7 +515,8 @@ def _flash_backward(q, k, v, lengths, o, lse, do):
         out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lens32, q, k, v, do, lse, delta)
 
