@@ -951,8 +951,167 @@ def _fused_qkv_bwd_kernel(len_ref, qkv_ref, do_ref, cos_ref, sin_ref,
 
 # scores+dp per head must fit VMEM alongside the qkv/do/out blocks
 FUSED_BWD_MAX_N = 1024
+# q-block-looped long variant (below) takes over past FUSED_BWD_MAX_N
+FUSED_BWD_LONG_MAX_N = 4096
 # test hook: route the flat backward kernel in interpret mode off-TPU
 FORCE_FLAT_BWD = False
+
+
+def _fused_qkv_bwd_kernel_long(q_ref, k_ref, v_ref, do_ref, cos_ref, sin_ref,
+                               bias_ref, dq_ref, dk_ref, dv_ref,
+                               krot_s, qrot_s, dk_acc, dv_acc, *,
+                               d: int, sm_scale: float, block_q: int):
+    """Flat dQKV for LONG sequences (FUSED_BWD_MAX_N < n <= 4096): the
+    whole-n kernel's recipe restructured as a loop over `block_q`-row q
+    blocks so the f32 score/dp temporaries stay [block_q, n] instead of
+    [n, n] (which overflows VMEM past ~1024 rows).
+
+    Layout vs the whole-n kernel: q/k/v/do arrive as PER-HEAD-PAIR lane
+    views of the flat arrays (BlockSpec lane blocks — the q view indexes
+    lanes hp*pair, the k view hd + hp*pair, the v view 2hd + hp*pair of
+    the same [b, n, 3hd] array), so each (batch, head-pair) program holds
+    only its own ~3 MB of operands and writes disjoint dq/dk/dv lane
+    blocks — no revisited whole-row output. The key mask arrives as an
+    additive [1, n] bias row (prefix lengths and MMDiT's mid-sequence
+    masks share this kernel). q/k are roped ONCE into scratch; dk/dv
+    accumulate in f32 scratch across q blocks; dead q rows carry
+    exactly-zero cotangents (callers mask the projection output), so no
+    query-side masking is needed — the same invariant as the whole-n
+    kernel."""
+    n, pair = krot_s.shape
+    two_halves = pair != d
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, pair), 1)
+
+    def rope(xf, cs, sn):
+        rot = jnp.where(lane_p % 2 == 0,
+                        -pltpu.roll(xf, pair - 1, 1),
+                        pltpu.roll(xf, 1, 1))
+        return xf * cs + rot * sn
+
+    dt = q_ref.dtype
+
+    def prep(c, _):
+        rows = pl.ds(c * 128, 128)
+        cs = cos_ref[rows, :].astype(jnp.float32)
+        sn = sin_ref[rows, :].astype(jnp.float32)
+        qrot_s[rows, :] = rope(q_ref[0, rows, :].astype(jnp.float32),
+                               cs, sn).astype(dt)
+        krot_s[rows, :] = rope(k_ref[0, rows, :].astype(jnp.float32),
+                               cs, sn).astype(dt)
+        dk_acc[rows, :] = jnp.zeros((128, pair), jnp.float32)
+        dv_acc[rows, :] = jnp.zeros((128, pair), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n // 128, prep, 0)
+
+    bias = bias_ref[0, 0:1, :]  # [1, n] f32
+
+    def qb_body(qb, _):
+        rows = pl.ds(qb * block_q, block_q)
+        cs = cos_ref[rows, :].astype(jnp.float32)
+        sn = sin_ref[rows, :].astype(jnp.float32)
+        do_full = do_ref[0, rows, :]
+        q_full = qrot_s[rows, :]
+        halves = ([(q_full, do_full)] if not two_halves else [
+            (jnp.where(lane_p < d, q_full, 0).astype(dt),
+             jnp.where(lane_p < d, do_full, 0).astype(dt)),
+            (jnp.where(lane_p >= d, q_full, 0).astype(dt),
+             jnp.where(lane_p >= d, do_full, 0).astype(dt)),
+        ])
+        krot = krot_s[:, :]
+        vp = v_ref[0, :, :]
+        dq_acc = None
+        for qh, doh in halves:
+            s = jax.lax.dot_general(qh, krot, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * sm_scale + bias                       # [bq, n]
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = p / jnp.where(l == 0.0, 1.0, l)
+            dp = jax.lax.dot_general(doh, vp, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = (p * (dp - delta)).astype(dt)
+            p_lo = p.astype(dt)
+            # zero-padded doh/qh keep the other head's lanes zero, so the
+            # two halves' dv/dk contributions ADD cleanly (same trick as
+            # the whole-n kernel); dq needs the lane select
+            dv_acc[:, :] += jax.lax.dot_general(
+                p_lo, doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_acc[:, :] += jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqh = jax.lax.dot_general(ds, krot, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dq_acc = dqh if dq_acc is None else jnp.where(lane_p < d, dq_acc, dqh)
+        dq = rope(dq_acc * sm_scale, cs, -sn)  # inverse rotation: -sin
+        dq_ref[0, rows, :] = dq.astype(dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n // block_q, qb_body, 0)
+
+    def writeback(c, _):
+        rows = pl.ds(c * 128, 128)
+        cs = cos_ref[rows, :].astype(jnp.float32)
+        sn = sin_ref[rows, :].astype(jnp.float32)
+        dk = rope(dk_acc[rows, :] * sm_scale, cs, -sn)
+        dk_ref[0, rows, :] = dk.astype(dk_ref.dtype)
+        dv_ref[0, rows, :] = dv_acc[rows, :].astype(dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n // 128, writeback, 0)
+
+
+def _fused_qkv_bwd_pallas_long(qkv, cos, sin, bias, do, heads: int):
+    """Driver for the long flat backward. q/k/v ride as lane-block VIEWS of
+    the flat [b, n, 3hd] array (index maps offset by hd // pair per
+    stream); dq/dk/dv come back as three [b, n, hd] outputs concatenated
+    into the flat dQKV. `bias` is [b, 1, n] f32 (0 live / NEG_INF dead)."""
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    pair = max(d, 128)
+    npairs = hd // pair
+    sm_scale = 1.0 / math.sqrt(d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fused_qkv_bwd_kernel_long, d=d, sm_scale=sm_scale,
+                          block_q=128),
+        grid=(b, npairs),
+        in_specs=[
+            pl.BlockSpec((1, n, pair), lambda bi, hp: (bi, 0, hp)),
+            pl.BlockSpec((1, n, pair), lambda bi, hp: (bi, 0, npairs + hp)),
+            pl.BlockSpec((1, n, pair), lambda bi, hp: (bi, 0, 2 * npairs + hp)),
+            pl.BlockSpec((1, n, pair), lambda bi, hp: (bi, 0, hp)),
+            pl.BlockSpec((n, pair), lambda bi, hp: (0, hp)),
+            pl.BlockSpec((n, pair), lambda bi, hp: (0, hp)),
+            pl.BlockSpec((1, 1, n), lambda bi, hp: (bi, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, pair), lambda bi, hp: (bi, 0, hp)),
+            pl.BlockSpec((1, n, pair), lambda bi, hp: (bi, 0, hp)),
+            pl.BlockSpec((1, n, pair), lambda bi, hp: (bi, 0, hp)),
+        ),
+        scratch_shapes=[pltpu.VMEM((n, pair), qkv.dtype),
+                        pltpu.VMEM((n, pair), qkv.dtype),
+                        pltpu.VMEM((n, pair), jnp.float32),
+                        pltpu.VMEM((n, pair), jnp.float32)],
+        out_shape=(jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, n, hd), qkv.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * n * hd * (pair // d),
+            bytes_accessed=2 * (4 * b * n * hd + 2 * n * hd) * qkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qkv, qkv, qkv, do, cos, sin, bias)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
 def _fused_qkv_bwd_pallas(qkv, cos, sin, lengths, do, heads: int):
@@ -1019,6 +1178,15 @@ def _fused_qkv_bwd(heads, res, g):
     if ((jax.default_backend() == "tpu" or FORCE_FLAT_BWD) and n % 128 == 0
             and n <= FUSED_BWD_MAX_N and d in (64, 128) and hd % 128 == 0):
         dqkv = _fused_qkv_bwd_pallas(qkv, cos, sin, lengths, g, heads)
+        return dqkv, None, None, None
+    if ((jax.default_backend() == "tpu" or FORCE_FLAT_BWD) and n % 128 == 0
+            and n <= FUSED_BWD_LONG_MAX_N and d in (64, 128) and hd % 128 == 0):
+        # long-clip training: q-block-looped flat kernel; prefix lengths
+        # become the additive bias row the kernel shares with the MMDiT path
+        col = jnp.arange(n)[None, :]
+        bias = jnp.where(col < lengths[:, None], 0.0, NEG_INF)
+        bias = bias.astype(jnp.float32)[:, None, :]
+        dqkv = _fused_qkv_bwd_pallas_long(qkv, cos, sin, bias, g, heads)
         return dqkv, None, None, None
 
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -1444,6 +1612,13 @@ def _fused_bias_bwd(heads, res, g):
     if ((jax.default_backend() == "tpu" or FORCE_FLAT_BWD) and n % 128 == 0
             and n <= FUSED_BIAS_BWD_MAX_N and d in (64, 128) and hd % 128 == 0):
         dqkv = _fused_bias_bwd_pallas(qkv, cos, sin, kmask, g, heads)
+        return dqkv, None, None, None
+    if ((jax.default_backend() == "tpu" or FORCE_FLAT_BWD) and n % 128 == 0
+            and n <= FUSED_BWD_LONG_MAX_N and d in (64, 128) and hd % 128 == 0):
+        # long joint sequences: same q-block-looped flat kernel; the
+        # arbitrary key mask is already an additive bias row
+        bias = jnp.where(kmask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+        dqkv = _fused_qkv_bwd_pallas_long(qkv, cos, sin, bias, g, heads)
         return dqkv, None, None, None
     _, vjp = jax.vjp(
         lambda x: _bias_decomposed_ref(x, cos, sin, kmask, heads), qkv)

@@ -251,6 +251,74 @@ def test_fused_kernel_tail_padded_block(n):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.parametrize("heads,d", [(2, 64), (1, 128)])
+def test_flat_bwd_long_kernel_matches_decomposed(heads, d, monkeypatch):
+    """Long-clip training (n > FUSED_BWD_MAX_N): the q-block-looped flat
+    dQKV kernel (lane-block views, bias-row mask, f32 dk/dv scratch
+    accumulators) must match the decomposed-chain gradients at an odd
+    128-multiple with ragged lengths."""
+    from f5tts_tpu.ops import attention as att
+
+    monkeypatch.setattr(att, "FORCE_FLAT_BWD", True)
+    b, n = 2, 1152
+    hd = heads * d
+    k1, k2 = jax.random.split(jax.random.PRNGKey(15))
+    qkv = 0.5 * jax.random.normal(k1, (b, n, 3 * hd), jnp.float32)
+    ct = jax.random.normal(k2, (b, n, hd), jnp.float32)
+    angles = rope_freqs_interleaved(d, n)
+    cos, sin = rope_flat_tables(angles, n, heads, dtype=jnp.float32)
+    lengths = jnp.array([n, 1000], jnp.int32)
+    rowmask = (jnp.arange(n)[None, :] < lengths[:, None])[:, :, None]
+
+    def loss_kernel(x):
+        o = fused_qkv_rope_attention(x, cos, sin, lengths, heads)
+        return jnp.sum(jnp.where(rowmask, o * ct, 0.0))
+
+    def loss_ref(x):
+        o = _oracle(x, angles, heads, lengths)
+        return jnp.sum(jnp.where(rowmask, o * ct, 0.0))
+
+    g_kernel = jax.grad(loss_kernel)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_bias_bwd_long_kernel_matches_decomposed(monkeypatch):
+    """Long joint sequences (n > FUSED_BIAS_BWD_MAX_N): MMDiT's backward
+    rides the same q-block-looped flat kernel with the arbitrary key mask
+    as the bias row."""
+    from f5tts_tpu.ops import attention as att
+
+    monkeypatch.setattr(att, "FORCE_FLAT_BWD", True)
+    monkeypatch.setattr(att, "FORCE_BIAS_KERNEL", True)
+    heads, d, b, n = 2, 64, 2, 1664
+    hd = heads * d
+    k1, k2 = jax.random.split(jax.random.PRNGKey(16))
+    qkv = 0.5 * jax.random.normal(k1, (b, n, 3 * hd), jnp.float32)
+    ct = jax.random.normal(k2, (b, n, hd), jnp.float32)
+    angles = rope_freqs_interleaved(d, n)
+    cos, sin = rope_flat_tables(angles, n, heads, dtype=jnp.float32)
+    kmask = np.ones((b, n), bool)
+    kmask[0, 700:1100] = False   # mid-sequence dead keys
+    kmask[1, 1500:] = False
+    kmaskj = jnp.asarray(kmask)
+    rowmask = kmaskj[:, :, None]
+
+    def loss_kernel(x):
+        o = att.fused_qkv_rope_attention_bias(x, cos, sin, kmaskj, heads)
+        return jnp.sum(jnp.where(rowmask, o * ct, 0.0))
+
+    def loss_ref(x):
+        o = att._bias_decomposed_ref(x, cos, sin, kmaskj, heads)
+        return jnp.sum(jnp.where(rowmask, o * ct, 0.0))
+
+    g_kernel = jax.grad(loss_kernel)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+                               atol=3e-4, rtol=3e-4)
+
+
 @pytest.mark.parametrize("variant", ["single_pass", "streaming"])
 @pytest.mark.parametrize("n", [3072, 2176])
 def test_bias_megakernel_long_n(n, variant, monkeypatch):
