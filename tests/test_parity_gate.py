@@ -262,3 +262,31 @@ def test_converter_torch_semantic_linear_and_conv():
     y_o = np.asarray(m.conv1d(params["input_embed"]["conv_pos"]["conv1"],
                               jnp.asarray(xc), groups=16, padding=15))
     np.testing.assert_allclose(y_o, y_t, atol=1e-4, rtol=1e-4)
+
+
+def test_converter_value_orientation_unett():
+    """Same value-orientation pin for the UNetT schema: skip_proj lands
+    transposed at the right depth of the second-half stack, RMSNorm
+    weights land per-layer, attn kernels stack by layer index."""
+    arch = dataclasses.replace(
+        DIT_ARCH, depth=4, text_dim=None, conv_layers=0,
+        skip_connect_type="concat")
+    sd = _reference_unett_sd(arch)
+    params, unconsumed = convert_backbone_state_dict_audited(sd, arch, "UNetT")
+    assert not unconsumed
+    half = arch.depth // 2
+    for i in range(half):
+        b1 = f"transformer.layers.{i}"
+        np.testing.assert_array_equal(
+            np.asarray(params["first_half"]["attn"]["to_q"]["w"][i]),
+            sd[f"{b1}.2.to_q.weight"].T)
+        np.testing.assert_array_equal(
+            np.asarray(params["first_half"]["attn_norm"]["w"][i]),
+            sd[f"{b1}.1.weight"])
+        b2 = f"transformer.layers.{half + i}"
+        np.testing.assert_array_equal(
+            np.asarray(params["second_half"]["skip_proj"]["w"][i]),
+            sd[f"{b2}.0.weight"].T)
+        np.testing.assert_array_equal(
+            np.asarray(params["second_half"]["ff"]["out"]["w"][i]),
+            sd[f"{b2}.4.ff.2.weight"].T)
