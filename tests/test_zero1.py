@@ -191,6 +191,37 @@ def test_zero1_grad_accum_apply(mesh):
     assert tuple(mu_leaf.addressable_shards[0].data.shape) != tuple(mu_leaf.shape)
 
 
+def test_zero1_composes_with_bf16_state(mesh, tmp_path):
+    """ZeRO-1 sharding + bf16-stored moments/EMA together (the max-memory-
+    savings config for pod training of MMDiT_Base): moments stay bf16 AND
+    data-sharded across a step."""
+    from f5tts_tpu.config import TrainConfig
+    from f5tts_tpu.train.trainer import Trainer
+
+    params = dit.init_dit(jax.random.PRNGKey(0), ARCH)
+    cfg = TrainConfig(batch_size_per_device=1600, max_samples=8,
+                      num_warmup_updates=4, save_per_updates=1000,
+                      last_per_updates=1000, save_dir=str(tmp_path),
+                      logger=None)
+    tr = Trainer(params, dit.DiTStatics(ARCH), cfg, backend="xla", mesh=mesh,
+                 dtype=jnp.float32, total_updates=64, zero1=True,
+                 bf16_state=True)
+    adam = tr.state.opt_state[1][0]
+    mu = adam.mu["blocks"]["attn"]["to_q"]["w"]
+    assert mu.dtype == jnp.bfloat16
+    assert tuple(mu.addressable_shards[0].data.shape) != tuple(mu.shape)
+
+    mel, text, lens = _batch(b=4)
+    dsh = NamedSharding(mesh, P("data"))
+    st, m = tr._step_fn(tr.state, jax.random.PRNGKey(1),
+                        *(jax.device_put(a, dsh) for a in (mel, text, lens)))
+    assert np.isfinite(float(m["loss"]))
+    mu2 = st.opt_state[1][0].mu["blocks"]["attn"]["to_q"]["w"]
+    assert mu2.dtype == jnp.bfloat16
+    assert tuple(mu2.addressable_shards[0].data.shape) != tuple(mu2.shape)
+    tr.ckpt.close()
+
+
 def test_zero1_lora_grad_accum_ckpt_composition(mesh, tmp_path):
     """VERDICT r4 #8: the full stack in ONE test — LoRA adapters TP-spec'd
     like their base kernels, AdamW moments ZeRO-1-sharded over "data",
