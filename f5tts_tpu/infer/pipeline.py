@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from f5tts_tpu.config import MelConfig, ModelArch, SamplingConfig
+from f5tts_tpu.config import MelConfig, SamplingConfig
 from f5tts_tpu.infer import audio_io
 from f5tts_tpu.models import cfm, dit
 from f5tts_tpu.ops.mel import MelFrontend
