@@ -112,8 +112,33 @@ def run(process_id: int = 0, num_processes: int = 1,
         cksum = float(sum(jnp.sum(jnp.abs(a.astype(jnp.float32)))
                           for a in jax.tree.leaves(new_state.params)))
 
+    # ---- ZeRO-1 leg: moments/EMA sharded over "data" ACROSS PROCESSES -----
+    # The virtual-mesh ZeRO-1 tests run in one process; here the moment
+    # shards genuinely live on different HOSTS and the reduce-scatter /
+    # all-gather ride the (gloo) inter-process collectives. Numerics must
+    # match the replicated step above exactly (same init/key/batch).
+    from f5tts_tpu.parallel.mesh import (replicated, shard_train_state,
+                                         train_state_shardings)
+
+    z0 = shard_train_state(init_train_state(params, tx), mesh, zero1=True)
+    z_sh = train_state_shardings(z0, mesh, zero1=True)
+    repsh = replicated(mesh)
+    with jax.set_mesh(mesh):
+        zjit = jax.jit(step_fn, out_shardings=(
+            z_sh, {"loss": repsh, "grad_norm": repsh}))
+        z1, zmetrics = zjit(z0, jax.random.PRNGKey(1), mel, text, lens)
+        z_loss = float(zmetrics["loss"])
+        z_cksum = float(sum(jnp.sum(jnp.abs(a.astype(jnp.float32)))
+                            for a in jax.tree.leaves(z1.params)))
+    mu = z1.opt_state[1][0].mu["blocks"]["attn"]["to_q"]["w"]
+    z_dist = int(tuple(mu.addressable_shards[0].data.shape) != tuple(mu.shape))
+    # under multi-process, each process must hold only ITS devices' shards
+    z_local_shards = len(mu.addressable_shards)
+
     return {"loss": loss, "cksum": cksum, "rows": (rows.start, rows.stop),
-            "devices": n_dev, "process_id": process_id}
+            "devices": n_dev, "process_id": process_id,
+            "z_loss": z_loss, "z_cksum": z_cksum, "z_dist": z_dist,
+            "z_local_shards": z_local_shards}
 
 
 def main(argv=None):
@@ -124,7 +149,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     r = run(args.process_id, args.num_processes, args.coordinator)
     print(f"RESULT loss={r['loss']:.8f} cksum={r['cksum']:.4f} "
-          f"rows={r['rows'][0]}:{r['rows'][1]} devices={r['devices']}",
+          f"rows={r['rows'][0]}:{r['rows'][1]} devices={r['devices']} "
+          f"z_loss={r['z_loss']:.8f} z_cksum={r['z_cksum']:.4f} "
+          f"z_dist={r['z_dist']} z_local={r['z_local_shards']}",
           flush=True)
 
 
