@@ -176,9 +176,11 @@ FLAT_ATTN_MAX_N = 4096
 # bf16, per attn layer incl. projections): single-pass beats the KV-streaming
 # online-softmax variant by ~11% at every n in {2816, 3072, 4096} (1359 vs
 # 1523 us at 2816; 2504 vs 2785 at 4096) and the decomposed head-split path
-# by ~2x — the [bq, n] f32 score panel fits the 64 MB VMEM budget through
-# n=4096, so the streaming kernels stay as the >4096 guard only.
-FLAT_SINGLE_PASS_MAX_N = 4096
+# by ~2x. Bound at 3072, NOT 4096: standalone the single-pass kernel compiles
+# at 4096, but inside the fused sampler graph its scoped-vmem stack hits
+# 100.6M vs a ~90M effective limit ("kernel-vmem-stack-oom") — the streaming
+# variant covers (3072, 4096] at ~11% more attention time.
+FLAT_SINGLE_PASS_MAX_N = 3072
 
 
 def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
@@ -798,6 +800,12 @@ def _fused_qkv_rope_attention_impl(
         # rows). Only the cos/sin tables need explicit padding — the kernel
         # dynamic-slices them at q-block offsets that may overhang n.
         bq = 256
+    if n > FLAT_SINGLE_PASS_MAX_N:
+        # streaming band (3072, 4096]: the resident k/v/cos/sin/krot blocks
+        # alone approach the platform's ~90 MB scoped-vmem ceiling inside
+        # the fused sampler graph; 128-row q blocks halve the stack
+        # temporaries to fit
+        bq = 128
     sm_scale = 1.0 / math.sqrt(d)
     n_pad = -(-n // bq) * bq
     if n_pad != n:
@@ -809,13 +817,15 @@ def _fused_qkv_rope_attention_impl(
         kernel = functools.partial(_fused_qkv_attn_kernel, heads=heads,
                                    sm_scale=sm_scale)
     else:
-        # block_k fixed at 1024 regardless of n: full blocks + a static
-        # (n % 1024)-wide tail block inside the kernel. Shrinking block_k to
-        # gcd(n, 1024) instead measured ~35% slower e2e at n=2816 (256-wide
-        # dots pay per-iteration VPU overheads 4x as often).
+        # block_k fixed (full blocks + a static n % block_k tail block inside
+        # the kernel) — shrinking it to gcd(n, 1024) instead measured ~35%
+        # slower e2e at n=2816 (256-wide dots pay per-iteration VPU overheads
+        # 4x as often). At the 4096 cap the resident k/v/krot/cos/sin blocks
+        # leave only ~2 MB of scoped stack under the platform's ~90 MB
+        # ceiling, so the temporaries drop to 512-wide there.
         kernel = functools.partial(
             _fused_qkv_attn_kernel_stream, heads=heads, sm_scale=sm_scale,
-            block_k=1024)
+            block_k=1024 if n <= 3072 else 512)
 
     return pl.pallas_call(
         kernel,
