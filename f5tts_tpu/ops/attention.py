@@ -1409,6 +1409,11 @@ def _fused_qkv_bias_impl(qkv, cos, sin, kmask, heads: int):
         # padded q rows produce dropped stores, cos/sin padded so in-kernel
         # q-block slices stay in bounds
         bq = 256
+    if n > FLAT_SINGLE_PASS_MAX_N:
+        # streaming band (3072, 4096]: 128-row q blocks keep the kernel
+        # under the platform's ~90 MB scoped-vmem ceiling (see the
+        # prefix-length impl)
+        bq = 128
     n_pad = -(-n // bq) * bq
     if n_pad != n:
         cos = jnp.pad(cos, ((0, n_pad - n), (0, 0)))
@@ -1421,7 +1426,7 @@ def _fused_qkv_bias_impl(qkv, cos, sin, kmask, heads: int):
     else:
         kernel = functools.partial(_fused_qkv_attn_bias_kernel_stream,
                                    heads=heads, sm_scale=sm_scale,
-                                   block_k=1024)
+                                   block_k=1024 if n <= 3072 else 512)
     return pl.pallas_call(
         kernel,
         grid=(b, n_pad // bq),
